@@ -1,0 +1,460 @@
+"""Fused Pallas TPU kernels for LSQ/LSQ+ fake quantization.
+
+TPU-native replacement for the reference's device kernels
+(torchlsq/csrc/ops/cpu/lsq_cpu.cpp, cuda/lsq_cuda.cu) and the shared math header
+(ops/kernels/lsq_kernel.h).  Design goals vs the reference (BASELINE.md):
+
+* Forward: one elementwise pass (1N read + 1N write) — same as reference.
+* Backward: ONE fused pass.  The reference CUDA backward launches 3 separate
+  kernels (dX, dS, dB), each re-reading grad+x, and materializes full-size
+  dS/dB buffers that are then reduced: ~9N element traffic + 2N reduction reads
+  (lsq_cuda.cu:91-141).  Here the single kernel reads grad+x once (2N), writes
+  the dX tile (1N), and emits only O(grid) per-tile *partial sums* for dS/dB,
+  reduced by a tiny XLA sum afterwards.  That is the 3N-traffic optimum for
+  this op (it is HBM-bandwidth-bound).
+* No host↔device syncs: scale/shift stay on device in SMEM (1,1) scalars
+  (vs the ``.item()`` hoists at lsq_cpu.cpp:44-46 / lsq_cuda.cu:52-54).
+* Mode specialization at trace time: eval_mode backward skips the partial-sum
+  outputs entirely; init_mode backward skips the dX output (dX == grad is a
+  no-copy passthrough, lsq_kernel.h:112).
+* bf16/fp16 inputs are computed with f32 intermediates and f32 partial-sum
+  accumulation (deviation from the reference CUDA, which computes in fp16 when
+  the input is fp16 — lsq_cuda.cu:45; documented per SURVEY.md §7).
+
+Layout strategy: inputs are canonicalized once per call —
+
+* per-tensor: flatten to (rows, 128) lanes;
+* per-channel: move the channel axis last and flatten to (rows, C) so channels
+  live on lanes and the per-channel dS/dB reduction is a sublane reduction
+  (SURVEY.md §7 "hard parts" #1).
+
+Padding to tile multiples is applied only when shapes require it (aligned
+shapes — the common case for NN layers — take the fast path with zero copies).
+Out-of-range elements are excluded from the partial sums with iota masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+from ..core.golden import effective_grad_scale
+from ..core.spec import QuantSpec
+
+__all__ = ["pallas_forward", "pallas_backward"]
+
+LANES = 128
+F32EPS = float(np.finfo(np.float32).eps)
+
+# Row-tile height for the elementwise grids.  512 rows × 128 lanes × 4 B =
+# 256 KiB per block buffer — large enough to be bandwidth-bound, small enough
+# for double-buffered fwd (2 bufs) and bwd (4 bufs) to fit VMEM comfortably.
+BLOCK_ROWS = 512
+# Channel-tile width for per-channel kernels (multiple of 128 lanes).
+BLOCK_CHANNELS = 512
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# Layout canonicalization
+# --------------------------------------------------------------------------
+
+def _to_rows_lanes(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Flatten to (rows, LANES); returns (x2d, n_valid)."""
+    n = x.size
+    rows = max(1, _cdiv(n, LANES))
+    pad = rows * LANES - n
+    xf = x.reshape(-1)
+    if pad:
+        xf = jnp.pad(xf, (0, pad))
+    return xf.reshape(rows, LANES), n
+
+
+def _from_rows_lanes(y2d: jnp.ndarray, shape, n: int) -> jnp.ndarray:
+    return y2d.reshape(-1)[:n].reshape(shape)
+
+
+def _to_rows_channels(x: jnp.ndarray, axis: int) -> Tuple[jnp.ndarray, int, int]:
+    """Move channel axis last, flatten to (rows, C); returns (x2d, rows, C)."""
+    xt = jnp.moveaxis(x, axis, -1)
+    c = xt.shape[-1]
+    rows = xt.size // c
+    return xt.reshape(rows, c), rows, c
+
+
+def _from_rows_channels(y2d: jnp.ndarray, x_shape, axis: int) -> jnp.ndarray:
+    xt_shape = tuple(np.moveaxis(np.empty(x_shape, dtype=np.uint8), axis, -1).shape)
+    return jnp.moveaxis(y2d.reshape(xt_shape), -1, axis)
+
+
+def _pad2d(x2d: jnp.ndarray, row_mult: int, col_mult: int,
+           value: float = 0.0) -> jnp.ndarray:
+    r, c = x2d.shape
+    pr = _cdiv(r, row_mult) * row_mult - r
+    pc = _cdiv(c, col_mult) * col_mult - c
+    if pr or pc:
+        x2d = jnp.pad(x2d, ((0, pr), (0, pc)), constant_values=value)
+    return x2d
+
+
+# --------------------------------------------------------------------------
+# Scalar-qparam (per-tensor) kernels
+# --------------------------------------------------------------------------
+
+def _pt_scalars(s_ref, b_ref, spec: QuantSpec):
+    """Load + clamp per-tensor qparams from SMEM (lsq_cpu.cpp:44-46 without the
+    host sync)."""
+    s = jnp.maximum(jnp.abs(s_ref[0, 0]), F32EPS)
+    b = b_ref[0, 0]
+    zp = jnp.round(jnp.clip(-b / s, float(spec.type_min), float(spec.type_max)))
+    return s, zp
+
+
+def _pt_fwd_kernel(s_ref, b_ref, x_ref, o_ref, *, spec: QuantSpec):
+    s, zp = _pt_scalars(s_ref, b_ref, spec)
+    x = x_ref[:].astype(jnp.float32)
+    xq = jnp.round(jnp.clip(x / s + zp, float(spec.quant_min), float(spec.quant_max)))
+    o_ref[:] = ((xq - zp) * s).astype(o_ref.dtype)
+
+
+def _pt_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
+                   spec: QuantSpec, init_mode: bool, eval_mode: bool,
+                   n_valid: int, gs: float, block_rows: int):
+    """Fused per-tensor backward: dX tile + dS/dB accumulated across the grid.
+
+    Math: lsq_kernel.h:94-123 (combined) / :126-145 (eval).
+    The dS/dB outputs are (1,1) SMEM scalars with a constant block index: TPU
+    grids run sequentially, so the accumulator stays resident across steps
+    (standard Pallas reduction pattern) — the final sums leave the kernel fully
+    reduced, with zero post-kernel reduction traffic.
+    Output layout depends on mode:
+      full: (dx_ref, ds_ref, db_ref);  eval: (dx_ref,);  init: (ds_ref, db_ref).
+    """
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    s, zp = _pt_scalars(s_ref, b_ref, spec)
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+
+    xq = jnp.clip(x / s + zp, qmin, qmax)            # unrounded (lsq_kernel.h:108)
+    mask = (qmin < xq) & (xq < qmax)                 # strict (lsq_kernel.h:109)
+
+    emit_dx = not init_mode                # init: dX == grad, returned outside
+    emit_partials = not eval_mode
+    oi = 0
+    if emit_dx:
+        dx_ref = outs[oi]; oi += 1
+        dx_ref[:] = jnp.where(mask, g, 0.0).astype(dx_ref.dtype)
+    if emit_partials:
+        ds_ref, db_ref = outs[oi], outs[oi + 1]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            ds_ref[0, 0] = jnp.float32(0.0)
+            db_ref[0, 0] = jnp.float32(0.0)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * block_rows
+        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        valid = (row * LANES + col) < n_valid
+
+        xfq = (jnp.round(xq) - zp) * s
+        geff = 2.0 * (xfq - x) if init_mode else g
+        border = jnp.where(xq <= qmin, geff * (qmin - zp), geff * (qmax - zp))
+        ds_elem = jnp.where(mask, geff * (xfq - x) / s, border)
+        ds_ref[0, 0] += jnp.sum(jnp.where(valid, ds_elem, 0.0)) * gs
+        if not spec.symmetric:
+            db_elem = jnp.where(mask, 0.0, geff)
+            db_ref[0, 0] += jnp.sum(jnp.where(valid, db_elem, 0.0)) * gs
+
+
+# --------------------------------------------------------------------------
+# Per-channel kernels (channels on lanes)
+# --------------------------------------------------------------------------
+
+def _pc_vectors(s_ref, b_ref, spec: QuantSpec):
+    """Clamp per-channel qparams in-kernel (lsq_kernel.h:157-158)."""
+    s = jnp.maximum(jnp.abs(s_ref[:]), F32EPS)        # (1, CT)
+    zp = jnp.round(jnp.clip(-b_ref[:] / s, float(spec.type_min), float(spec.type_max)))
+    return s, zp
+
+
+def _pc_fwd_kernel(s_ref, b_ref, x_ref, o_ref, *, spec: QuantSpec):
+    s, zp = _pc_vectors(s_ref, b_ref, spec)
+    x = x_ref[:].astype(jnp.float32)
+    xq = jnp.round(jnp.clip(x / s + zp, float(spec.quant_min), float(spec.quant_max)))
+    o_ref[:] = ((xq - zp) * s).astype(o_ref.dtype)
+
+
+def _pc_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
+                   spec: QuantSpec, init_mode: bool, eval_mode: bool,
+                   n_valid_rows: int, gs: float, block_rows: int):
+    """Fused per-channel backward: dX tile + per-channel dS/dB accumulators.
+
+    The channel axis lives on lanes, so the dS/dB reduction is a sublane
+    (axis-0) reduction within the tile — the layout that makes the
+    "reduce over all-but-channel-axis" (lsq_cpu.cpp:287-293) a single
+    in-register jnp.sum.
+
+    Grid is (channel_tiles, row_tiles) with row tiles INNERMOST: the (8, CT)
+    accumulator blocks keep a constant index over the inner row loop, so they
+    stay resident in VMEM across steps and are flushed once per channel tile.
+    """
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    s, zp = _pc_vectors(s_ref, b_ref, spec)
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+
+    xq = jnp.clip(x / s + zp, qmin, qmax)
+    mask = (qmin < xq) & (xq < qmax)
+
+    emit_dx = not init_mode
+    emit_partials = not eval_mode
+    oi = 0
+    if emit_dx:
+        dx_ref = outs[oi]; oi += 1
+        dx_ref[:] = jnp.where(mask, g, 0.0).astype(dx_ref.dtype)
+    if emit_partials:
+        ds_ref, db_ref = outs[oi], outs[oi + 1]
+        ir = pl.program_id(1)  # row tile — inner grid dim
+
+        @pl.when(ir == 0)
+        def _():
+            ds_ref[:] = jnp.zeros_like(ds_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + ir * block_rows
+        valid = row < n_valid_rows
+
+        xfq = (jnp.round(xq) - zp) * s
+        geff = 2.0 * (xfq - x) if init_mode else g
+        border = jnp.where(xq <= qmin, geff * (qmin - zp), geff * (qmax - zp))
+        ds_elem = jnp.where(mask, geff * (xfq - x) / s, border)
+        # Reduce (BM, CT) → (8, CT) so the accumulate is a full-sublane op, and
+        # the residual 8-row sum happens once on the host side.
+        bm, ct = g.shape
+        ds_ref[:] += jnp.sum(
+            jnp.where(valid, ds_elem, 0.0).reshape(bm // 8, 8, ct), axis=0) * gs
+        if not spec.symmetric:
+            db_elem = jnp.where(mask, 0.0, geff)
+            db_ref[:] += jnp.sum(
+                jnp.where(valid, db_elem, 0.0).reshape(bm // 8, 8, ct), axis=0) * gs
+
+
+# --------------------------------------------------------------------------
+# Host-side wrappers
+# --------------------------------------------------------------------------
+
+def _qp_smem(q: jnp.ndarray) -> jnp.ndarray:
+    return q.reshape(1, 1).astype(jnp.float32)
+
+
+def _resolve_interpret(interpret) -> bool:
+    """interpret=None → auto: compiled on TPU, interpreter elsewhere (the
+    "same code runs on CPU for tests" property, SURVEY.md §2a)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
+def pallas_forward(x, scale, shift, *, spec: QuantSpec, init_mode: bool = False,
+                   interpret: Optional[bool] = None):
+    """Fake-quant forward via Pallas (lsq_kernel.h:6-14 semantics)."""
+    interpret = _resolve_interpret(interpret)
+    if init_mode:
+        return x  # identity (lsq_kernel.h:13)
+    if spec.per_channel:
+        return _pc_forward(x, scale, shift, spec, interpret)
+    return _pt_forward(x, scale, shift, spec, interpret)
+
+
+def _pt_forward(x, scale, shift, spec, interpret):
+    x2d, n = _to_rows_lanes(x)
+    rows = x2d.shape[0]
+    bm = min(BLOCK_ROWS, rows)
+    grid = (_cdiv(rows, bm),)
+    out = pl.pallas_call(
+        functools.partial(_pt_fwd_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(_qp_smem(scale), _qp_smem(shift), x2d)
+    return _from_rows_lanes(out, x.shape, n)
+
+
+def _pc_qparams(scale, shift, c_pad):
+    s = scale.astype(jnp.float32)
+    b = shift.astype(jnp.float32)
+    if s.shape[0] < c_pad:
+        s = jnp.pad(s, (0, c_pad - s.shape[0]), constant_values=1.0)
+        b = jnp.pad(b, (0, c_pad - b.shape[0]))
+    return s.reshape(1, c_pad), b.reshape(1, c_pad)
+
+
+def _pc_forward(x, scale, shift, spec, interpret):
+    x2d, rows, c = _to_rows_channels(x, spec.axis)
+    x2dp = _pad2d(x2d, 8, LANES)
+    rp, cp = x2dp.shape
+    bm = min(BLOCK_ROWS, rp)
+    ct = min(BLOCK_CHANNELS, cp)
+    grid = (_cdiv(rp, bm), _cdiv(cp, ct))
+    s2, b2 = _pc_qparams(scale, shift, cp)
+    out = pl.pallas_call(
+        functools.partial(_pc_fwd_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, ct), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, ct), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(s2, b2, x2dp)
+    return _from_rows_channels(out[:rows, :c], x.shape, spec.axis)
+
+
+def pallas_backward(grad, x, scale, shift, *, spec: QuantSpec,
+                    eval_mode: bool = False, init_mode: bool = False,
+                    numel: Optional[int] = None,
+                    interpret: Optional[bool] = None):
+    """Fused fake-quant backward via Pallas.
+
+    Returns (dX, dS, dB) with dS/dB already reduced to qparam shape, matching
+    golden_backward (and the reference's post-kernel sum reductions,
+    lsq_cpu.cpp:138-139, 287-293 — done here as in-kernel partials + tiny sum).
+    """
+    interpret = _resolve_interpret(interpret)
+    if spec.per_channel:
+        return _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode,
+                            numel, interpret)
+    return _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode,
+                        numel, interpret)
+
+
+def _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
+                 interpret):
+    g2d, n = _to_rows_lanes(grad)
+    x2d, _ = _to_rows_lanes(x)
+    rows = x2d.shape[0]
+    bm = min(BLOCK_ROWS, rows)
+    ntiles = _cdiv(rows, bm)
+    gs = effective_grad_scale(spec, numel if numel is not None else x.size)
+
+    emit_dx = not init_mode
+    emit_partials = not eval_mode
+    out_shape, out_specs = [], []
+    if emit_dx:
+        out_shape.append(jax.ShapeDtypeStruct(x2d.shape, x.dtype))
+        out_specs.append(pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    if emit_partials:
+        for _ in range(2):
+            # fully-reduced (1,1) SMEM accumulator, constant block index
+            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                          memory_space=pltpu.SMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_pt_bwd_kernel, spec=spec, init_mode=init_mode,
+                          eval_mode=eval_mode, n_valid=n, gs=gs, block_rows=bm),
+        out_shape=tuple(out_shape),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(_qp_smem(scale), _qp_smem(shift), g2d, x2d)
+
+    oi = 0
+    if emit_dx:
+        dX = _from_rows_lanes(outs[oi], x.shape, n)
+        oi += 1
+    else:
+        dX = grad  # init-mode STE passthrough, no copy (lsq_kernel.h:112)
+    if emit_partials:
+        dS = outs[oi].reshape(scale.shape).astype(scale.dtype)
+        dB = outs[oi + 1].reshape(shift.shape).astype(shift.dtype)
+    else:
+        dS = jnp.zeros_like(scale)
+        dB = jnp.zeros_like(shift)
+    return dX, dS, dB
+
+
+def _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
+                 interpret):
+    g2d, rows, c = _to_rows_channels(grad, spec.axis)
+    x2d, _, _ = _to_rows_channels(x, spec.axis)
+    g2dp = _pad2d(g2d, 8, LANES)
+    x2dp = _pad2d(x2d, 8, LANES)
+    rp, cp = x2dp.shape
+    bm = min(BLOCK_ROWS, rp)
+    ct = min(BLOCK_CHANNELS, cp)
+    # Channel tiles OUTER, row tiles INNER so the (8, ct) accumulator block
+    # index is constant over the inner loop (see _pc_bwd_kernel docstring).
+    grid = (_cdiv(cp, ct), _cdiv(rp, bm))
+    gs = effective_grad_scale(spec, numel if numel is not None else x.size, c)
+    s2, b2 = _pc_qparams(scale, shift, cp)
+
+    emit_dx = not init_mode
+    emit_partials = not eval_mode
+    out_shape, out_specs = [], []
+    if emit_dx:
+        out_shape.append(jax.ShapeDtypeStruct(x2dp.shape, x.dtype))
+        out_specs.append(pl.BlockSpec((bm, ct), lambda j, i: (i, j),
+                                      memory_space=pltpu.VMEM))
+    if emit_partials:
+        for _ in range(2):
+            out_shape.append(jax.ShapeDtypeStruct((8, cp), jnp.float32))
+            out_specs.append(pl.BlockSpec((8, ct), lambda j, i: (0, j),
+                                          memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_pc_bwd_kernel, spec=spec, init_mode=init_mode,
+                          eval_mode=eval_mode, n_valid_rows=rows, gs=gs,
+                          block_rows=bm),
+        out_shape=tuple(out_shape),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(s2, b2, g2dp, x2dp)
+
+    oi = 0
+    if emit_dx:
+        dX = _from_rows_channels(outs[oi][:rows, :c], x.shape, spec.axis)
+        oi += 1
+    else:
+        dX = grad
+    if emit_partials:
+        dS = jnp.sum(outs[oi][:, :c], axis=0).astype(scale.dtype)
+        dB = jnp.sum(outs[oi + 1][:, :c], axis=0).astype(shift.dtype)
+    else:
+        dS = jnp.zeros_like(scale)
+        dB = jnp.zeros_like(shift)
+    return dX, dS, dB

@@ -1,0 +1,114 @@
+"""Pallas kernel tests: fused fwd/bwd kernels (interpret mode on CPU) vs the
+golden jnp model — exact f32 parity expected (same op order, f32 math).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jaxlsq import QuantSpec, fake_quant
+from jaxlsq.core import golden_backward, golden_forward
+from jaxlsq.ops import pallas_kernels as pk
+
+SPECS = [
+    QuantSpec(quant_min=0, quant_max=255),
+    QuantSpec(quant_min=-128, quant_max=127, symmetric=True),
+    QuantSpec(quant_min=0, quant_max=127, type_min=0, type_max=255),
+    QuantSpec(quant_min=-8, quant_max=7, symmetric=True),
+    QuantSpec(quant_min=-128, quant_max=127, symmetric=True, per_channel=True, axis=0),
+    QuantSpec(quant_min=0, quant_max=255, per_channel=True, axis=1),
+    QuantSpec(quant_min=0, quant_max=255, per_channel=True, axis=2),
+]
+
+# Aligned, unaligned, tiny, multi-dim shapes.
+SHAPES = [(256, 128), (33, 7, 5), (1, 130), (4, 16, 3, 3)]
+
+
+def _inputs(spec, shape, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    c = shape[spec.axis] if spec.per_channel else 1
+    scale = jnp.asarray(0.05 + 0.1 * rng.rand(c).astype(np.float32))
+    shift = jnp.asarray(
+        np.zeros(c, np.float32) if spec.symmetric
+        else 0.1 * rng.randn(c).astype(np.float32))
+    g = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    return x, scale, shift, g
+
+
+@pytest.mark.parametrize("spec", SPECS)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_pallas_forward_matches_golden(spec, shape):
+    if spec.per_channel and spec.axis >= len(shape):
+        pytest.skip("axis out of range for this shape")
+    x, scale, shift, _ = _inputs(spec, shape)
+    ours = pk.pallas_forward(x, scale, shift, spec=spec, interpret=True)
+    ref = golden_forward(x, scale, shift, spec)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("spec", SPECS)
+@pytest.mark.parametrize("shape", [(256, 128), (33, 7, 5)])
+@pytest.mark.parametrize("eval_mode,init_mode",
+                         [(False, False), (True, False), (False, True)])
+def test_pallas_backward_matches_golden(spec, shape, eval_mode, init_mode):
+    if spec.per_channel and spec.axis >= len(shape):
+        pytest.skip("axis out of range for this shape")
+    x, scale, shift, g = _inputs(spec, shape)
+    dX, dS, dB = pk.pallas_backward(
+        g, x, scale, shift, spec=spec, eval_mode=eval_mode,
+        init_mode=init_mode, interpret=True)
+    eX, eS, eB = golden_backward(
+        g, x, scale, shift, spec, eval_mode=eval_mode, init_mode=init_mode)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(eX), rtol=0, atol=0)
+    # partial-sum association differs from golden's single big sum → tiny fp drift
+    np.testing.assert_allclose(np.asarray(dS), np.asarray(eS), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dB), np.asarray(eB), rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_init_mode_forward_is_identity_no_copy():
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    x = jnp.ones((8, 8))
+    out = pk.pallas_forward(x, jnp.array([0.1]), jnp.array([0.0]),
+                            spec=spec, init_mode=True, interpret=True)
+    assert out is x  # identity passthrough
+
+
+def test_pallas_bf16_accumulates_f32():
+    """bf16 input: dS partials accumulate in f32 (SURVEY.md §7 deviation)."""
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 128), dtype=jnp.bfloat16)
+    g = jnp.asarray(rng.randn(64, 128), dtype=jnp.bfloat16)
+    scale, shift = jnp.array([0.1]), jnp.array([0.0])
+    dX, dS, dB = pk.pallas_backward(g, x, scale, shift, spec=spec, interpret=True)
+    assert dX.dtype == jnp.bfloat16
+    assert dS.dtype == scale.dtype
+    # golden in f32 on the f32-cast inputs should be close
+    eX, eS, eB = golden_backward(
+        g.astype(jnp.float32), x.astype(jnp.float32), scale, shift, spec)
+    np.testing.assert_allclose(float(dS[0]), float(eS[0]), rtol=1e-3)
+
+
+def test_functional_pallas_impl_end_to_end():
+    """fake_quant(impl='pallas') runs the kernels through custom_vjp."""
+    import jax
+
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 128).astype(np.float32))
+    scale, shift = jnp.array([0.1]), jnp.array([0.05])
+
+    def loss(x, s, b):
+        return jnp.sum(fake_quant(x, s, b, spec, impl="pallas") ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(x, scale, shift)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(fake_quant(x, s, b, spec, impl="reference") ** 2)
+
+    val_r, grads_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(x, scale, shift)
+    np.testing.assert_allclose(float(val), float(val_r), rtol=1e-6)
+    for a, b in zip(grads, grads_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
