@@ -19,6 +19,6 @@ Quantization, arXiv:1902.08153 / arXiv:2004.09576), redesigned TPU-first:
 __version__ = "0.1.0"
 
 from .core.spec import QuantSpec
-from .ops.functional import fake_quant, lsq
+from .ops.functional import fake_quant, fake_quant_traced, lsq
 
-__all__ = ["QuantSpec", "fake_quant", "lsq", "__version__"]
+__all__ = ["QuantSpec", "fake_quant", "fake_quant_traced", "lsq", "__version__"]

@@ -61,6 +61,8 @@ __all__ = [
     "broadcast_qparams",
     "golden_forward",
     "golden_backward",
+    "golden_forward_traced",
+    "golden_backward_traced",
 ]
 
 
@@ -173,4 +175,66 @@ def golden_backward(
         gs = effective_grad_scale(spec, n)
         dS = jnp.sum(dS_elem).reshape(scale.shape) * gs
         dB = jnp.sum(dB_elem).reshape(shift.shape) * gs
+    return dX, dS.astype(scale.dtype), dB.astype(shift.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Traced-flag variants
+# ---------------------------------------------------------------------------
+#
+# The reference flips eval_mode/init_mode from Python attribute state mid-
+# training (observers.py:424-462), which retraces under jit.  These variants
+# take the two mode flags as TRACED 0/1 float scalars so one compiled program
+# covers the whole QAT schedule (observer window → full LSQ) with no retrace —
+# the jnp.where selects are free relative to the op's HBM-bound cost.
+# Semantics are identical to the static functions above for flag ∈ {0, 1}.
+
+def golden_forward_traced(x, scale, shift, spec: QuantSpec,
+                          eval_flag, init_flag):
+    """Forward with traced mode flags: out = init ? x : fake_quant(x).
+
+    ``eval_flag`` does not affect the forward (lsq_kernel.h:126-145 changes only
+    the backward); it is accepted for signature symmetry.
+    """
+    del eval_flag
+    s, _, zp = _prep(x, scale, shift, spec)
+    xq = jnp.round(jnp.clip(x / s + zp, spec.quant_min, spec.quant_max))
+    fq = (xq - zp) * s
+    init = jnp.asarray(init_flag, x.dtype).reshape(())
+    return init * x + (1.0 - init) * fq
+
+
+def golden_backward_traced(grad, x, scale, shift, spec: QuantSpec,
+                           eval_flag, init_flag,
+                           numel: Optional[int] = None):
+    """Backward with traced mode flags; returns (dX, dS, dB)."""
+    s, _, zp = _prep(x, scale, shift, spec)
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    ev = jnp.asarray(eval_flag, jnp.float32).reshape(())
+    ini = jnp.asarray(init_flag, jnp.float32).reshape(())
+
+    xq = jnp.clip(x / s + zp, qmin, qmax)
+    mask = (qmin < xq) & (xq < qmax)
+    # dX: init → passthrough; else STE mask (both eval and full modes)
+    dX = jnp.where(ini > 0, grad, grad * mask)
+
+    xfq = (jnp.round(xq) - zp) * s
+    geff = jnp.where(ini > 0, 2.0 * (xfq - x), grad)
+    dB_elem = jnp.where(mask, 0.0, geff)
+    if spec.symmetric:
+        dB_elem = jnp.zeros_like(dB_elem)
+    border = jnp.where(xq <= qmin, geff * (qmin - zp), geff * (qmax - zp))
+    dS_elem = jnp.where(mask, geff * (xfq - x) / s, border)
+
+    n = numel if numel is not None else x.size
+    live = 1.0 - ev  # eval zeroes the param grads (lsq_kernel.h:142-144)
+    if spec.per_channel:
+        gs = effective_grad_scale(spec, n, x.shape[spec.axis])
+        red = tuple(a for a in range(x.ndim) if a != spec.axis)
+        dS = jnp.sum(dS_elem, axis=red) * (gs * live)
+        dB = jnp.sum(dB_elem, axis=red) * (gs * live)
+    else:
+        gs = effective_grad_scale(spec, n)
+        dS = jnp.sum(dS_elem).reshape(scale.shape) * (gs * live)
+        dB = jnp.sum(dB_elem).reshape(shift.shape) * (gs * live)
     return dX, dS.astype(scale.dtype), dB.astype(shift.dtype)

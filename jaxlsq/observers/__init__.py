@@ -1,0 +1,17 @@
+from .minmax import (
+    MinMaxObserver,
+    MovingAverageMinMaxObserver,
+    ObserverState,
+    observer_qparams,
+)
+from .quantizer import LSQQuantizer, QuantizerState, convert_shift_to_zp
+
+__all__ = [
+    "MinMaxObserver",
+    "MovingAverageMinMaxObserver",
+    "ObserverState",
+    "observer_qparams",
+    "LSQQuantizer",
+    "QuantizerState",
+    "convert_shift_to_zp",
+]

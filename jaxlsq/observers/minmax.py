@@ -1,0 +1,128 @@
+"""Min/max range observers for activation-quantizer initialization.
+
+JAX reimplementation of the torch observers the reference plugs into its
+``init_mode='observer'`` path (observers.py:176-187 instantiates one;
+README.md:109-110 recommends ``MovingAverage(PerChannel)MinMaxObserver``).
+The reference borrows PyTorch's implementations; this framework re-creates
+their semantics as pure functional state transitions (SURVEY.md §7 step 3):
+
+* state is an explicit pytree ``ObserverState(min_val, max_val, seen)``;
+* ``update(state, x)`` returns a new state (plain min/max or exponential
+  moving average, per-tensor or per-channel);
+* ``calculate_qparams(state, spec)`` maps the tracked range to
+  (scale, zero_point) with torch-compatible semantics:
+    - affine:    scale = (max⁺ − min⁻)/(qmax − qmin),
+                 zp = clamp(qmin − round(min⁻/scale), qmin, qmax)
+    - symmetric: scale = 2·max(−min⁻, max⁺)/(qmax − qmin),
+                 zp = 0 for signed ranges, else midpoint of the range
+  with min⁻ = min(min, 0), max⁺ = max(max, 0) and an eps floor on scale —
+  mirroring torch.quantization.observer.ObserverBase._calculate_qparams, which
+  is what the reference's ``calculate_qparams()`` call returns
+  (observers.py:448).
+
+The LSQ quantizer then converts zero_point to its float shift via
+``shift = −zp·scale`` (observers.py:366-368).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.spec import QuantSpec
+
+__all__ = ["ObserverState", "MinMaxObserver", "MovingAverageMinMaxObserver",
+           "observer_qparams"]
+
+
+class ObserverState(struct.PyTreeNode):
+    """Tracked range.  Shapes: (1,) per-tensor, (C,) per-channel."""
+    min_val: jnp.ndarray
+    max_val: jnp.ndarray
+    # Number of updates seen (traced); the first update overwrites instead of
+    # averaging, like torch's uninitialized-buffer check.
+    seen: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MinMaxObserver:
+    """Running min/max observer (torch MinMaxObserver / PerChannel variant).
+
+    ``averaging_constant=None`` → plain running min/max;
+    otherwise exponential moving average (torch MovingAverage*MinMaxObserver):
+      min ← min + c·(batch_min − min).
+    """
+
+    per_channel: bool = False
+    axis: int = 1
+    averaging_constant: Optional[float] = None
+
+    def init(self, num_channels: int = 1) -> ObserverState:
+        c = num_channels if self.per_channel else 1
+        return ObserverState(
+            min_val=jnp.zeros((c,), jnp.float32),
+            max_val=jnp.zeros((c,), jnp.float32),
+            seen=jnp.zeros((), jnp.int32),
+        )
+
+    def _batch_min_max(self, x: jnp.ndarray):
+        x = jax.lax.stop_gradient(x).astype(jnp.float32)
+        if self.per_channel:
+            red = tuple(a for a in range(x.ndim) if a != self.axis)
+            return jnp.min(x, axis=red), jnp.max(x, axis=red)
+        return jnp.min(x).reshape(1), jnp.max(x).reshape(1)
+
+    def update(self, state: ObserverState, x: jnp.ndarray) -> ObserverState:
+        bmin, bmax = self._batch_min_max(x)
+        first = state.seen == 0
+        if self.averaging_constant is None:
+            new_min = jnp.where(first, bmin, jnp.minimum(state.min_val, bmin))
+            new_max = jnp.where(first, bmax, jnp.maximum(state.max_val, bmax))
+        else:
+            c = jnp.float32(self.averaging_constant)
+            new_min = jnp.where(first, bmin,
+                                state.min_val + c * (bmin - state.min_val))
+            new_max = jnp.where(first, bmax,
+                                state.max_val + c * (bmax - state.max_val))
+        return ObserverState(min_val=new_min, max_val=new_max,
+                             seen=state.seen + 1)
+
+    def calculate_qparams(self, state: ObserverState,
+                          spec: QuantSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return observer_qparams(state.min_val, state.max_val, spec)
+
+
+def MovingAverageMinMaxObserver(averaging_constant: float = 0.01,
+                                per_channel: bool = False,
+                                axis: int = 1) -> MinMaxObserver:
+    """torch ``MovingAverage(PerChannel)MinMaxObserver`` equivalent."""
+    return MinMaxObserver(per_channel=per_channel, axis=axis,
+                          averaging_constant=averaging_constant)
+
+
+def observer_qparams(min_val: jnp.ndarray, max_val: jnp.ndarray,
+                     spec: QuantSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch-compatible (scale, zero_point) from a tracked [min, max] range."""
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    eps = jnp.float32(jnp.finfo(jnp.float32).eps)
+    min_neg = jnp.minimum(min_val, 0.0)
+    max_pos = jnp.maximum(max_val, 0.0)
+    if spec.symmetric:
+        amax = jnp.maximum(-min_neg, max_pos)
+        scale = amax / ((qmax - qmin) / 2.0)
+        scale = jnp.maximum(scale, eps)
+        if spec.quant_min <= 0 <= spec.quant_max and spec.quant_min < 0:
+            zp = jnp.zeros_like(scale)
+        else:
+            # unsigned carrier: centre of the range (torch uses 128 for quint8)
+            zp = jnp.full_like(scale, float((spec.quant_min + spec.quant_max + 1) // 2))
+    else:
+        scale = (max_pos - min_neg) / (qmax - qmin)
+        scale = jnp.maximum(scale, eps)
+        zp = qmin - jnp.round(min_neg / scale)
+        zp = jnp.clip(zp, qmin, qmax)
+    return scale, zp

@@ -1,0 +1,385 @@
+"""LSQ fake-quantizer module: the TPU-native ``LSQFakeQuantizer`` equivalent.
+
+Reimplements the reference's observer module
+(torchlsq/quantized/modules/observers.py:72-483) as a *functional* state
+machine: configuration is a frozen dataclass, runtime state is an explicit
+pytree, and every mode switch returns a new state.  Differences by design
+(SURVEY.md §5 checkpoint pitfalls + §7 fix list):
+
+* No lazy parameter init: ``init()`` returns a complete state up front (the
+  reference registers params as None until the first forward,
+  observers.py:249-250, which breaks load-before-forward and the
+  "give params to the optimizer only after one forward" footgun,
+  README.md:101).
+* All phase counters/flags live in the state pytree and therefore checkpoint
+  and restore exactly (the reference loses ``_initialized``/``n_batches`` on
+  state_dict round-trips, observers.py:247,200-201).
+* The forward works in two regimes:
+  - concrete state (eager / host-driven training): Python branch resolution,
+    exactly the reference's control flow (observers.py:424-462), dispatching
+    to the statically-specialized Pallas kernels;
+  - traced state (inside jit/scan/pjit): single-program flow using
+    ``fake_quant_traced`` — the phase flips happen in data, not in Python, so
+    the whole QAT schedule compiles once.
+
+State machine (transcribed from observers.py:424-462):
+
+    forward(x, training):
+      debug_mode → x
+      do_backprop_init = False; do_full_lsq = learning_enabled
+      if training and learning_enabled and current_batch <= n_batches:
+          'observer':  do_full_lsq = (current_batch == n_batches);
+                       on that last batch also disable_observer()
+          'learnable': disable_observer();
+                       do_backprop_init = (current_batch != n_batches)
+          current_batch += 1
+      if observer_enabled: update observer on stop_gradient(x);
+                           scale, zp = observer qparams; shift = −zp·scale
+      if fake_quant_enabled:
+          do_backprop_init &= do_full_lsq
+          out = fake_quant(x, scale, shift, eval=!do_full_lsq, init=do_backprop_init)
+      else: out = x
+
+Weights (otype='weight') get ``n_batches = −1`` so the window never triggers
+(observers.py:246) and a static μ±3σ scale init (observers.py:329-337).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.spec import QuantSpec
+from ..ops.functional import fake_quant, fake_quant_traced
+from .minmax import MinMaxObserver, MovingAverageMinMaxObserver, ObserverState
+
+__all__ = ["LSQQuantizer", "QuantizerState", "convert_shift_to_zp"]
+
+
+def convert_shift_to_zp(shift: jnp.ndarray, scale: jnp.ndarray,
+                        spec: QuantSpec) -> jnp.ndarray:
+    """zero_point = round(clamp(−shift/scale, tmin, tmax)) as int32
+    (observers.py:378-401)."""
+    zp = jnp.round(jnp.clip(-shift / scale, spec.type_min, spec.type_max))
+    return zp.astype(jnp.int32)
+
+
+class QuantizerState(struct.PyTreeNode):
+    """Complete runtime state of one quantizer (checkpoints as a pytree).
+
+    The four uint8 buffers of the reference (observers.py:252-255) become bool
+    scalars; ``n_batches`` is state (not config) because
+    ``enable_param_learning`` mutates it (observers.py:300).
+    """
+    scale: jnp.ndarray           # (C,) f32 — learnable
+    shift: jnp.ndarray           # (C,) f32 — learnable (frozen when symmetric)
+    current_batch: jnp.ndarray   # () i32
+    n_batches: jnp.ndarray       # () i32  (−1 ⇒ init window never triggers)
+    fake_quant_enabled: jnp.ndarray   # () bool
+    observer_enabled: jnp.ndarray     # () bool
+    learning_enabled: jnp.ndarray     # () bool
+    obs: ObserverState
+
+
+def _is_traced(*leaves) -> bool:
+    return any(isinstance(l, jax.core.Tracer) for l in leaves)
+
+
+@dataclasses.dataclass(frozen=True)
+class LSQQuantizer:
+    """Static configuration + behavior of one LSQ/LSQ+ fake-quantizer.
+
+    Args (mirroring LSQFakeQuantizer.__init__, observers.py:164-211):
+      spec: the QuantSpec (dtype/qscheme/quant range in one object).
+      otype: 'weight' | 'activation' — weights always use static init and no
+        observer window (observers.py:246,268-269).
+      init_mode: 'observer' | 'learnable' (observers.py:152).
+      n_batches: length of the activation init window (init_batches, :151).
+      init_scale / init_shift: initial qparams for activations (:146-147).
+        For symmetric specs init_shift is overridden by the
+        ``symmetric_init_shift`` rule (observers.py:238-241).
+      observer: a MinMaxObserver config used when init_mode='observer'.
+      learn_params: start with LSQ learning enabled (:149).
+      debug_mode: forward is identity (:156).
+      numel: logical (global) element count for grad scaling under data
+        parallelism; None ⇒ local x.size.
+      impl: kernel implementation ('auto' | 'pallas' | 'reference').
+    """
+
+    spec: QuantSpec
+    otype: str = "activation"
+    init_mode: str = "observer"
+    n_batches: int = 1000
+    init_scale: float = 1.0
+    init_shift: float = 0.0
+    observer: Optional[MinMaxObserver] = None
+    learn_params: bool = True
+    debug_mode: bool = False
+    numel: Optional[int] = None
+    impl: str = "auto"
+
+    def __post_init__(self):
+        if self.otype not in ("weight", "activation"):
+            raise ValueError(f"otype must be 'weight' or 'activation', got {self.otype}")
+        if self.init_mode not in ("observer", "learnable"):
+            # observers.py:174
+            raise ValueError(
+                f"init_mode must be 'observer' or 'learnable', got {self.init_mode}")
+        if self.otype == "weight" and not self.spec.symmetric:
+            # observers.py:220: only symmetric weights supported
+            raise ValueError("weight quantizers must use a symmetric spec")
+        if self.observer is None and self.init_mode == "observer" \
+                and self.otype == "activation":
+            object.__setattr__(
+                self, "observer",
+                MovingAverageMinMaxObserver(per_channel=self.spec.per_channel,
+                                            axis=self.spec.axis))
+
+    # ------------------------------------------------------------------ init
+
+    @property
+    def effective_init_shift(self) -> float:
+        if self.spec.symmetric:
+            # observers.py:238-241
+            return self.spec.symmetric_init_shift(self.init_scale)
+        return self.init_shift
+
+    def _num_channels(self, x: Optional[jnp.ndarray],
+                      num_channels: Optional[int]) -> int:
+        if not self.spec.per_channel:
+            return 1
+        if x is not None:
+            return x.shape[self.spec.axis]
+        if num_channels is not None:
+            return num_channels
+        raise ValueError("per-channel quantizer init needs x or num_channels")
+
+    def init(self, x: Optional[jnp.ndarray] = None, *,
+             num_channels: Optional[int] = None) -> QuantizerState:
+        """Build a complete state.  For weights, ``x`` (the weight tensor)
+        drives the static scale init
+        ``max(|µ−3σ|, |µ+3σ|)/2^(bitness−1)`` with
+        ``bitness = ceil(log2(qmax−qmin)) − 1`` (observers.py:329-337)."""
+        c = self._num_channels(x, num_channels)
+        scale = jnp.full((c,), self.init_scale, jnp.float32)
+        if self.otype == "weight" and x is not None:
+            xd = jax.lax.stop_gradient(x).astype(jnp.float32)
+            bitness = math.ceil(
+                math.log2(self.spec.quant_max - self.spec.quant_min)) - 1
+            if self.spec.per_channel:
+                red = tuple(a for a in range(x.ndim) if a != self.spec.axis)
+                mean = jnp.mean(xd, axis=red)
+                std = jnp.std(xd, axis=red, ddof=1)  # torch.std is Bessel-corrected
+            else:
+                mean = jnp.mean(xd).reshape(1)
+                std = jnp.std(xd, ddof=1).reshape(1)
+            scale = (jnp.maximum(jnp.abs(mean - 3 * std),
+                                 jnp.abs(mean + 3 * std)) / 2 ** bitness)
+        shift = jnp.full((c,), self.effective_init_shift, jnp.float32)
+        # weights: window never triggers (observers.py:246)
+        nb = -1 if self.otype == "weight" else self.n_batches
+        obs = (self.observer.init(c) if self.observer is not None
+               else ObserverState(min_val=jnp.zeros((c,), jnp.float32),
+                                  max_val=jnp.zeros((c,), jnp.float32),
+                                  seen=jnp.zeros((), jnp.int32)))
+        state = QuantizerState(
+            scale=scale,
+            shift=shift,
+            current_batch=jnp.zeros((), jnp.int32),
+            n_batches=jnp.asarray(nb, jnp.int32),
+            fake_quant_enabled=jnp.asarray(True),
+            observer_enabled=jnp.asarray(True),
+            learning_enabled=jnp.asarray(bool(self.learn_params)),
+            obs=obs,
+        )
+        return self.enable_observer(state)  # proper gating (observers.py:257)
+
+    # ------------------------------------------------- mode switches (pure)
+
+    def enable_observer(self, state: QuantizerState) -> QuantizerState:
+        """observers.py:265-277 — enable, then re-gate for cases where the
+        observer is not needed."""
+        enabled = jnp.asarray(True)
+        learning = state.learning_enabled
+        if self.otype == "weight":
+            enabled = ~learning
+        else:
+            if self.init_mode == "learnable":
+                enabled = ~learning
+            else:
+                enabled = ~(learning & (state.current_batch > state.n_batches))
+        return state.replace(observer_enabled=enabled)
+
+    def disable_observer(self, state: QuantizerState) -> QuantizerState:
+        return state.replace(observer_enabled=jnp.asarray(False))
+
+    def enable_fake_quant(self, state: QuantizerState) -> QuantizerState:
+        return state.replace(fake_quant_enabled=jnp.asarray(True))
+
+    def disable_fake_quant(self, state: QuantizerState) -> QuantizerState:
+        return state.replace(fake_quant_enabled=jnp.asarray(False))
+
+    def enable_param_learning(self, state: QuantizerState) -> QuantizerState:
+        """observers.py:291-300: learn via LSQ, no observer, no init window."""
+        return state.replace(learning_enabled=jnp.asarray(True),
+                             observer_enabled=jnp.asarray(False),
+                             n_batches=jnp.asarray(-1, jnp.int32))
+
+    def enable_static_estimate(self, state: QuantizerState) -> QuantizerState:
+        """observers.py:302-310: plain FakeQuantize driven by the observer."""
+        state = state.replace(learning_enabled=jnp.asarray(False))
+        return self.enable_observer(state)
+
+    # ------------------------------------------------------------- qparams
+
+    def set_qparams(self, state: QuantizerState,
+                    scale: Optional[jnp.ndarray] = None,
+                    shift: Optional[jnp.ndarray] = None,
+                    zero_point: Optional[jnp.ndarray] = None) -> QuantizerState:
+        """Functional ``_set_weights`` (observers.py:346-373): zero_point is
+        converted via ``shift = −zp·scale`` using the (possibly new) scale."""
+        new_scale = state.scale if scale is None else \
+            jnp.asarray(scale, jnp.float32).reshape(state.scale.shape)
+        new_shift = state.shift
+        if zero_point is not None:
+            new_shift = (-jnp.asarray(zero_point, jnp.float32).reshape(
+                state.shift.shape) * new_scale)
+        if shift is not None:
+            new_shift = jnp.asarray(shift, jnp.float32).reshape(state.shift.shape)
+        return state.replace(scale=new_scale, shift=new_shift)
+
+    def calculate_qparams(self, state: QuantizerState
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(scale, zero_point) for the serving handoff (observers.py:403-422):
+        eps-clamped scale + shift→zp conversion."""
+        scale = jnp.maximum(state.scale, jnp.finfo(jnp.float32).eps)
+        zp = convert_shift_to_zp(state.shift, scale, self.spec)
+        return scale, zp
+
+    # ------------------------------------------------------------- forward
+
+    def __call__(self, state: QuantizerState, x: jnp.ndarray, *,
+                 training: bool = False) -> Tuple[jnp.ndarray, QuantizerState]:
+        if self.debug_mode:  # observers.py:425-426
+            return x, state
+        if _is_traced(state.current_batch, state.learning_enabled,
+                      state.observer_enabled, x):
+            return self._forward_traced(state, x, training)
+        return self._forward_concrete(state, x, training)
+
+    # --- concrete (eager) path: reference control flow, static kernels ----
+
+    def _forward_concrete(self, state, x, training):
+        do_backprop_init = False
+        do_full_lsq = bool(state.learning_enabled)
+        in_window = (training and bool(state.learning_enabled)
+                     and int(state.current_batch) <= int(state.n_batches))
+        if in_window:  # observers.py:433-444
+            if self.init_mode == "observer":
+                do_full_lsq = False
+                if int(state.current_batch) == int(state.n_batches):
+                    do_full_lsq = True
+                    state = self.disable_observer(state)
+            else:  # learnable
+                state = self.disable_observer(state)
+                do_backprop_init = (int(state.current_batch)
+                                    != int(state.n_batches))
+            state = state.replace(current_batch=state.current_batch + 1)
+
+        if bool(state.observer_enabled) and self.observer is not None:
+            # observers.py:446-449
+            new_obs = self.observer.update(state.obs, x)
+            scale, zp = self.observer.calculate_qparams(new_obs, self.spec)
+            state = state.replace(obs=new_obs)
+            state = self.set_qparams(state, scale=scale, zero_point=zp)
+
+        if bool(state.fake_quant_enabled):  # observers.py:451-461
+            do_backprop_init = do_backprop_init and do_full_lsq
+            out = fake_quant(
+                x, state.scale, state.shift, self.spec,
+                eval_mode=not do_full_lsq, init_mode=do_backprop_init,
+                numel=self.numel, impl=self.impl)
+            return out, state
+        return x, state
+
+    # --- traced path: single program over the phase schedule --------------
+
+    def _forward_traced(self, state, x, training):
+        learning = state.learning_enabled
+        cb, nb = state.current_batch, state.n_batches
+        in_window = jnp.asarray(training) & learning & (cb <= nb)
+
+        if self.init_mode == "observer":
+            do_full_lsq = jnp.where(in_window, cb == nb, learning)
+            new_obs_enabled = jnp.where(in_window & (cb == nb),
+                                        False, state.observer_enabled)
+            do_backprop_init = jnp.asarray(False)
+        else:
+            do_full_lsq = learning
+            new_obs_enabled = jnp.where(in_window, False,
+                                        state.observer_enabled)
+            do_backprop_init = in_window & (cb != nb)
+        state = state.replace(
+            observer_enabled=new_obs_enabled,
+            current_batch=cb + in_window.astype(jnp.int32))
+
+        if self.observer is not None:
+            new_obs = self.observer.update(state.obs, x)
+            obs_on = state.observer_enabled
+            merged_obs = jax.tree.map(
+                lambda new, old: jnp.where(obs_on, new, old),
+                new_obs, state.obs)
+            o_scale, o_zp = self.observer.calculate_qparams(merged_obs, self.spec)
+            o_shift = -o_zp.astype(jnp.float32) * o_scale
+            state = state.replace(
+                obs=merged_obs,
+                scale=jnp.where(obs_on, o_scale, state.scale),
+                shift=jnp.where(obs_on, o_shift, state.shift))
+
+        do_backprop_init = do_backprop_init & do_full_lsq
+        eval_flag = 1.0 - do_full_lsq.astype(jnp.float32)
+        init_flag = do_backprop_init.astype(jnp.float32)
+        out = fake_quant_traced(
+            x, state.scale, state.shift, self.spec,
+            eval_flag=eval_flag, init_flag=init_flag,
+            numel=self.numel, impl=self.impl)
+        fq_on = state.fake_quant_enabled
+        out = jnp.where(fq_on, out, x)
+        return out, state
+
+    # ------------------------------------------------------------ describe
+
+    def describe(self, state: QuantizerState) -> str:
+        """Human-readable state report (extra_repr equivalent,
+        observers.py:464-483)."""
+        if self.debug_mode:
+            return "Debug mode: ON, doing nothing."
+        scale, zp = self.calculate_qparams(state)
+        in_init = (bool(state.learning_enabled) and self.otype != "weight"
+                   and int(state.current_batch) <= int(state.n_batches))
+        init_txt = (f"(init mode: {self.init_mode}; "
+                    f"{int(state.current_batch)}/{int(state.n_batches)} batches) "
+                    if in_init else "")
+        pc = (f"Yes, axis={self.spec.axis}" if self.spec.per_channel else "No")
+        return (f"{init_txt}LSQQuantizer for {self.otype}; "
+                f"Learnable:{bool(state.learning_enabled)}; "
+                f"Observer:{bool(state.observer_enabled)}; "
+                f"FakeQuant:{bool(state.fake_quant_enabled)}; "
+                f"Affine:{not self.spec.symmetric}, PerChannel:{pc}, "
+                f"Qrange:[{self.spec.quant_min},{self.spec.quant_max}], "
+                f"scale={np_short(scale)}, zero_point={np_short(zp)} "
+                f"(shift={np_short(state.shift)}).")
+
+
+def np_short(a, k: int = 4) -> str:
+    import numpy as np
+
+    a = np.asarray(a)
+    if a.size <= k:
+        return np.array2string(a, precision=5)
+    return np.array2string(a[:k], precision=5)[:-1] + " ...]"

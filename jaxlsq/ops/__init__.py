@@ -1,3 +1,3 @@
-from .functional import fake_quant, lsq
+from .functional import fake_quant, fake_quant_traced, lsq
 
-__all__ = ["fake_quant", "lsq"]
+__all__ = ["fake_quant", "fake_quant_traced", "lsq"]

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from ..core.golden import golden_backward, golden_forward
 from ..core.spec import QuantSpec
 
-__all__ = ["fake_quant", "lsq"]
+__all__ = ["fake_quant", "fake_quant_traced", "lsq"]
 
 
 def _default_impl() -> str:
@@ -171,3 +171,77 @@ def lsq(
     return fake_quant(
         x, scale, shift, spec,
         eval_mode=eval_mode, init_mode=init_mode, numel=numel, impl=impl)
+
+
+# ---------------------------------------------------------------------------
+# Traced-mode-flag variant (single program over the whole QAT phase schedule)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_traced(spec: QuantSpec, numel: Optional[int], impl: str):
+    if impl == "pallas":
+        from . import pallas_kernels as pk
+
+        fwd_impl = functools.partial(pk.pallas_forward_traced, spec=spec)
+        bwd_impl = functools.partial(pk.pallas_backward_traced, spec=spec,
+                                     numel=numel)
+    else:
+        from ..core.golden import golden_backward_traced, golden_forward_traced
+
+        fwd_impl = functools.partial(golden_forward_traced, spec=spec)
+        bwd_impl = functools.partial(golden_backward_traced, spec=spec,
+                                     numel=numel)
+
+    @jax.custom_vjp
+    def _fq(x, scale, shift, eval_flag, init_flag):
+        return fwd_impl(x, scale, shift, eval_flag=eval_flag,
+                        init_flag=init_flag)
+
+    def _fq_fwd(x, scale, shift, eval_flag, init_flag):
+        out = fwd_impl(x, scale, shift, eval_flag=eval_flag,
+                       init_flag=init_flag)
+        return out, (x, scale, shift, eval_flag, init_flag)
+
+    def _fq_bwd(res, g):
+        x, scale, shift, eval_flag, init_flag = res
+        dX, dS, dB = bwd_impl(g, x, scale, shift, eval_flag=eval_flag,
+                              init_flag=init_flag)
+        return dX, dS, dB, jnp.zeros_like(eval_flag), jnp.zeros_like(init_flag)
+
+    _fq.defvjp(_fq_fwd, _fq_bwd)
+    return _fq
+
+
+def fake_quant_traced(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    shift: jnp.ndarray,
+    spec: QuantSpec,
+    *,
+    eval_flag,
+    init_flag,
+    numel: Optional[int] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """``fake_quant`` with TRACED eval/init mode flags (f32 0/1 scalars).
+
+    One compiled program covers the reference's whole mode schedule
+    (observers.py:424-462: observer window → backprop-init → full LSQ → eval)
+    with no retracing — the flags select behavior with elementwise jnp.where,
+    which is free for this HBM-bound op.  Use this inside jit/scan train steps;
+    use ``fake_quant`` when the phase is known statically.
+    """
+    if scale.ndim != 1 or shift.ndim != 1:
+        raise ValueError("scale/shift must be 1-D (reference lsq.cpp:119-120)")
+    if spec.per_channel:
+        c = x.shape[spec.axis]
+        if scale.shape[0] == 1 and c > 1:
+            scale = jnp.broadcast_to(scale, (c,))
+        if shift.shape[0] == 1 and c > 1:
+            shift = jnp.broadcast_to(shift, (c,))
+    if impl == "auto":
+        impl = _default_impl()
+    ev = jnp.asarray(eval_flag, jnp.float32).reshape(())
+    ini = jnp.asarray(init_flag, jnp.float32).reshape(())
+    fn = _build_traced(spec, numel, impl)
+    return fn(x, scale, shift, ev, ini)

@@ -47,7 +47,8 @@ import numpy as np
 from ..core.golden import effective_grad_scale
 from ..core.spec import QuantSpec
 
-__all__ = ["pallas_forward", "pallas_backward"]
+__all__ = ["pallas_forward", "pallas_backward",
+           "pallas_forward_traced", "pallas_backward_traced"]
 
 LANES = 128
 F32EPS = float(np.finfo(np.float32).eps)
@@ -457,4 +458,229 @@ def _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
     else:
         dS = jnp.zeros_like(scale)
         dB = jnp.zeros_like(shift)
+    return dX, dS, dB
+
+
+# --------------------------------------------------------------------------
+# Traced-mode-flag kernels: eval/init arrive as SMEM scalars, one compiled
+# program covers the whole QAT phase schedule (see functional.fake_quant_traced).
+# The extra in-kernel selects are free — the op is HBM-bandwidth-bound.
+# --------------------------------------------------------------------------
+
+def _pt_fwd_traced_kernel(s_ref, b_ref, f_ref, x_ref, o_ref, *, spec: QuantSpec):
+    s, zp = _pt_scalars(s_ref, b_ref, spec)
+    ini = f_ref[0, 1]
+    x = x_ref[:].astype(jnp.float32)
+    xq = jnp.round(jnp.clip(x / s + zp, float(spec.quant_min), float(spec.quant_max)))
+    fq = (xq - zp) * s
+    o_ref[:] = jnp.where(ini > 0, x, fq).astype(o_ref.dtype)
+
+
+def _pt_bwd_traced_kernel(s_ref, b_ref, f_ref, g_ref, x_ref,
+                          dx_ref, ds_ref, db_ref, *,
+                          spec: QuantSpec, n_valid: int, gs: float,
+                          block_rows: int):
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    s, zp = _pt_scalars(s_ref, b_ref, spec)
+    ev, ini = f_ref[0, 0], f_ref[0, 1]
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+
+    xq = jnp.clip(x / s + zp, qmin, qmax)
+    mask = (qmin < xq) & (xq < qmax)
+    dx_ref[:] = jnp.where(ini > 0, g, jnp.where(mask, g, 0.0)).astype(dx_ref.dtype)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ds_ref[0, 0] = jnp.float32(0.0)
+        db_ref[0, 0] = jnp.float32(0.0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * block_rows
+    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    valid = (row * LANES + col) < n_valid
+
+    xfq = (jnp.round(xq) - zp) * s
+    geff = jnp.where(ini > 0, 2.0 * (xfq - x), g)
+    border = jnp.where(xq <= qmin, geff * (qmin - zp), geff * (qmax - zp))
+    ds_elem = jnp.where(mask, geff * (xfq - x) / s, border)
+    live = (1.0 - ev) * gs
+    ds_ref[0, 0] += jnp.sum(jnp.where(valid, ds_elem, 0.0)) * live
+    if not spec.symmetric:
+        db_elem = jnp.where(mask, 0.0, geff)
+        db_ref[0, 0] += jnp.sum(jnp.where(valid, db_elem, 0.0)) * live
+
+
+def _pc_fwd_traced_kernel(s_ref, b_ref, f_ref, x_ref, o_ref, *, spec: QuantSpec):
+    s, zp = _pc_vectors(s_ref, b_ref, spec)
+    ini = f_ref[0, 1]
+    x = x_ref[:].astype(jnp.float32)
+    xq = jnp.round(jnp.clip(x / s + zp, float(spec.quant_min), float(spec.quant_max)))
+    fq = (xq - zp) * s
+    o_ref[:] = jnp.where(ini > 0, x, fq).astype(o_ref.dtype)
+
+
+def _pc_bwd_traced_kernel(s_ref, b_ref, f_ref, g_ref, x_ref,
+                          dx_ref, ds_ref, db_ref, *,
+                          spec: QuantSpec, n_valid_rows: int, gs: float,
+                          block_rows: int):
+    qmin, qmax = float(spec.quant_min), float(spec.quant_max)
+    s, zp = _pc_vectors(s_ref, b_ref, spec)
+    ev, ini = f_ref[0, 0], f_ref[0, 1]
+    g = g_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+
+    xq = jnp.clip(x / s + zp, qmin, qmax)
+    mask = (qmin < xq) & (xq < qmax)
+    dx_ref[:] = jnp.where(ini > 0, g, jnp.where(mask, g, 0.0)).astype(dx_ref.dtype)
+
+    ir = pl.program_id(1)
+
+    @pl.when(ir == 0)
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + ir * block_rows
+    valid = row < n_valid_rows
+
+    xfq = (jnp.round(xq) - zp) * s
+    geff = jnp.where(ini > 0, 2.0 * (xfq - x), g)
+    border = jnp.where(xq <= qmin, geff * (qmin - zp), geff * (qmax - zp))
+    ds_elem = jnp.where(mask, geff * (xfq - x) / s, border)
+    live = (1.0 - ev) * gs
+    bm, ct = g.shape
+    ds_ref[:] += jnp.sum(
+        jnp.where(valid, ds_elem, 0.0).reshape(bm // 8, 8, ct), axis=0) * live
+    if not spec.symmetric:
+        db_elem = jnp.where(mask, 0.0, geff)
+        db_ref[:] += jnp.sum(
+            jnp.where(valid, db_elem, 0.0).reshape(bm // 8, 8, ct), axis=0) * live
+
+
+def _flags_smem(eval_flag, init_flag) -> jnp.ndarray:
+    ev = jnp.asarray(eval_flag, jnp.float32).reshape(())
+    ini = jnp.asarray(init_flag, jnp.float32).reshape(())
+    return jnp.stack([ev, ini]).reshape(1, 2)
+
+
+def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
+                          init_flag, interpret: Optional[bool] = None):
+    interpret = _resolve_interpret(interpret)
+    flags = _flags_smem(eval_flag, init_flag)
+    if spec.per_channel:
+        x2d, rows, c = _to_rows_channels(x, spec.axis)
+        x2dp = _pad2d(x2d, 8, LANES)
+        rp, cp = x2dp.shape
+        bm, ct = min(BLOCK_ROWS, rp), min(BLOCK_CHANNELS, cp)
+        grid = (_cdiv(rp, bm), _cdiv(cp, ct))
+        s2, b2 = _pc_qparams(scale, shift, cp)
+        out = pl.pallas_call(
+            functools.partial(_pc_fwd_traced_kernel, spec=spec),
+            out_shape=jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ct), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, ct), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, ct), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(s2, b2, flags, x2dp)
+        return _from_rows_channels(out[:rows, :c], x.shape, spec.axis)
+    x2d, n = _to_rows_lanes(x)
+    rows = x2d.shape[0]
+    bm = min(BLOCK_ROWS, rows)
+    out = pl.pallas_call(
+        functools.partial(_pt_fwd_traced_kernel, spec=spec),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+        grid=(_cdiv(rows, bm),),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(_qp_smem(scale), _qp_smem(shift), flags, x2d)
+    return _from_rows_lanes(out, x.shape, n)
+
+
+def pallas_backward_traced(grad, x, scale, shift, *, spec: QuantSpec,
+                           eval_flag, init_flag, numel: Optional[int] = None,
+                           interpret: Optional[bool] = None):
+    interpret = _resolve_interpret(interpret)
+    flags = _flags_smem(eval_flag, init_flag)
+    if spec.per_channel:
+        g2d, rows, c = _to_rows_channels(grad, spec.axis)
+        x2d, _, _ = _to_rows_channels(x, spec.axis)
+        g2dp, x2dp = _pad2d(g2d, 8, LANES), _pad2d(x2d, 8, LANES)
+        rp, cp = x2dp.shape
+        bm, ct = min(BLOCK_ROWS, rp), min(BLOCK_CHANNELS, cp)
+        grid = (_cdiv(cp, ct), _cdiv(rp, bm))
+        gs = effective_grad_scale(spec, numel if numel is not None else x.size, c)
+        s2, b2 = _pc_qparams(scale, shift, cp)
+        dx, ds8, db8 = pl.pallas_call(
+            functools.partial(_pc_bwd_traced_kernel, spec=spec,
+                              n_valid_rows=rows, gs=gs, block_rows=bm),
+            out_shape=(
+                jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
+                jax.ShapeDtypeStruct((8, cp), jnp.float32),
+                jax.ShapeDtypeStruct((8, cp), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(s2, b2, flags, g2dp, x2dp)
+        dX = _from_rows_channels(dx[:rows, :c], x.shape, spec.axis)
+        dS = jnp.sum(ds8[:, :c], axis=0).astype(scale.dtype)
+        dB = jnp.sum(db8[:, :c], axis=0).astype(shift.dtype)
+        return dX, dS, dB
+    g2d, n = _to_rows_lanes(grad)
+    x2d, _ = _to_rows_lanes(x)
+    rows = x2d.shape[0]
+    bm = min(BLOCK_ROWS, rows)
+    gs = effective_grad_scale(spec, numel if numel is not None else x.size)
+    dx, ds, db = pl.pallas_call(
+        functools.partial(_pt_bwd_traced_kernel, spec=spec, n_valid=n, gs=gs,
+                          block_rows=bm),
+        out_shape=(
+            jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        grid=(_cdiv(rows, bm),),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(_qp_smem(scale), _qp_smem(shift), flags, g2d, x2d)
+    dX = _from_rows_lanes(dx, x.shape, n)
+    dS = ds.reshape(scale.shape).astype(scale.dtype)
+    dB = db.reshape(shift.shape).astype(shift.dtype)
     return dX, dS, dB
