@@ -1,0 +1,141 @@
+"""Headline benchmark: fused LSQ fake-quant fwd+bwd bandwidth on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Metric: fraction of the chip's HBM roofline achieved by the full fake-quant
+fwd+bwd training pass (BASELINE.md target: >=0.80), taken over the two compute
+paths the framework ships (XLA-fused golden, Pallas kernels) — whichever is
+faster is what `impl='auto'` serves to users.
+
+vs_baseline: measured-time speedup over an *idealized* implementation of the
+reference's kernel design — the reference CUDA backward launches 3 kernels,
+each re-reading grad+x and writing a full-size dS/dB buffer, then reduces them
+(lsq_cuda.cu:91-141): 52 B/elem of f32 traffic for fwd+bwd vs our 20 B/elem.
+The baseline time is that 52 B/elem moved at 100% of roofline — the best the
+reference design could possibly do on this chip — so vs_baseline > 1 means we
+beat the reference's design even granting it perfect efficiency.
+
+Timing method: device-side chained fori_loops with data dependence between
+iterations (qparams evolve each step so dS/dB are consumed, not DCE'd) and a
+single scalar fetch; the slope between two trip counts cancels host↔device
+round-trip and the final reduction.  Variants are timed interleaved,
+min-of-rounds, because the chip is time-shared.  Plain block_until_ready is
+NOT a reliable sync on remote-execution backends.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Public HBM bandwidth per chip by generation (GB/s).
+HBM_GBPS = {"v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1640.0}
+
+
+def detect_roofline() -> float:
+    import os
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+    for k, v in HBM_GBPS.items():
+        if k in gen:
+            return v
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return HBM_GBPS["v5e"]
+    if "v5p" in kind or "v5" in kind:
+        return HBM_GBPS["v5p"]
+    if "v6" in kind:
+        return HBM_GBPS["v6e"]
+    return HBM_GBPS["v4"]
+
+
+def main():
+    from jaxlsq import QuantSpec, fake_quant
+
+    on_tpu = jax.default_backend() == "tpu"
+    spec = QuantSpec(quant_min=0, quant_max=255)
+
+    # 64 Mi elements f32 (256 MiB per buffer) — far past the HBM-bound regime.
+    n = 64 * 1024 * 1024 if on_tpu else 1024 * 1024
+    shape = (n // 1024, 1024)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    g = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    s0, b0 = jnp.array([0.1]), jnp.array([0.05])
+
+    def make_chain(impl, k):
+        @jax.jit
+        def f(x, g):
+            def body(i, carry):
+                y, gg, s, b = carry
+                out, vjp = jax.vjp(
+                    lambda a, ss, bb: fake_quant(a, ss, bb, spec, impl=impl),
+                    y, s, b)
+                dx, ds, db = vjp(gg)
+                # consume ALL outputs: qparams evolve like a real train step
+                return (dx, out, s - 1e-6 * ds, b - 1e-6 * db)
+            y, gg, s, b = jax.lax.fori_loop(0, k, body, (x, g, s0, b0))
+            return jnp.sum(y) + jnp.sum(gg) + s[0] + b[0]
+        return f
+
+    impls = ["reference", "pallas"] if on_tpu else ["reference"]
+    K1, K2 = 2, 8
+    fns = {}
+    for impl in impls:
+        fns[impl] = (make_chain(impl, K1), make_chain(impl, K2))
+        float(fns[impl][0](x, g))  # compile + warm
+        float(fns[impl][1](x, g))
+
+    rounds = 8 if on_tpu else 3
+    rec = {impl: ([], []) for impl in impls}
+    for _ in range(rounds):
+        for impl in impls:
+            c1, c2 = fns[impl]
+            t0 = time.perf_counter(); float(c1(x, g))
+            rec[impl][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(c2(x, g))
+            rec[impl][1].append(time.perf_counter() - t0)
+
+    times = {}
+    for impl in impls:
+        t1, t2 = min(rec[impl][0]), min(rec[impl][1])
+        times[impl] = max((t2 - t1) / (K2 - K1), 1e-9)
+
+    best_impl = min(times, key=times.get)
+    t_total = times[best_impl]
+
+    # fwd: read x + write out (8 B); bwd: read g,x + write dx (12 B) — dx may
+    # alias g in-place, which makes this a conservative traffic count.
+    bytes_total = 20 * n
+    gbps_total = bytes_total / t_total / 1e9
+    roofline = detect_roofline()
+    frac = gbps_total / roofline
+
+    # Idealized reference design: 52 B/elem at 100% roofline.
+    t_ref_ideal = 52 * n / (roofline * 1e9)
+    vs_baseline = t_ref_ideal / t_total
+
+    print(json.dumps({
+        "metric": "fused fake-quant fwd+bwd HBM roofline fraction",
+        "value": round(frac, 4),
+        "unit": "fraction of roofline (target >=0.80)",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "best_impl": best_impl,
+            "elements": n,
+            "roofline_gbps": roofline,
+            "total_gbps": round(gbps_total, 1),
+            "t_fwdbwd_ms": {k: round(v * 1e3, 3) for k, v in times.items()},
+            "baseline": "reference 3-launch bwd design (52 B/elem) at 100% roofline",
+            "timing": "interleaved chained-loop slope, min-of-rounds",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

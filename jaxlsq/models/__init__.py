@@ -1,0 +1,25 @@
+from .layers import FakeQuantize, QuantConv, QuantDense
+from .qconfig import QConfig, default_qconfig
+from .toggles import (
+    disable_fake_quant,
+    disable_fake_quant_on_act,
+    disable_observer,
+    disable_observer_on_weights,
+    enable_fake_quant,
+    enable_fake_quant_on_act,
+    enable_observer,
+    enable_observer_on_weights,
+    map_quant_state,
+)
+from .zoo import BasicBlock, QuantCNN, QuantMLP, QuantResNet, resnet18_cifar
+
+__all__ = [
+    "FakeQuantize", "QuantConv", "QuantDense",
+    "QConfig", "default_qconfig",
+    "enable_fake_quant", "disable_fake_quant",
+    "enable_observer", "disable_observer",
+    "enable_fake_quant_on_act", "disable_fake_quant_on_act",
+    "enable_observer_on_weights", "disable_observer_on_weights",
+    "map_quant_state",
+    "QuantMLP", "QuantCNN", "QuantResNet", "BasicBlock", "resnet18_cifar",
+]

@@ -1,0 +1,86 @@
+"""QConfig: per-layer quantizer configuration mapping.
+
+The TPU-native replacement for the reference's reliance on
+``torch.quantization.QConfig(activation=…, weight=…)`` factories built with the
+pickle-safe ``with_args`` partial machinery (observers.py:38-66, README.md:103-126).
+Here a QConfig is a plain frozen dataclass pairing two ``LSQQuantizer`` templates;
+layers specialize the per-channel axis for their kernel layout with
+``for_kernel_axis`` — no introspection magic (SURVEY.md §5 "Config / flag system").
+
+This also fixes, by construction, the reference's ``partial`` NameError
+(observers.py:64 uses an unimported ``functools.partial``) — there is no partial
+factory to import.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..core.spec import QuantSpec
+from ..observers.quantizer import LSQQuantizer
+
+__all__ = ["QConfig", "default_qconfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QConfig:
+    """Pair of quantizer templates: ``weight`` and ``activation``.
+
+    Either may be None (that side is not quantized).  Axis fields inside the
+    templates are placeholders; layers call :meth:`weight_for_axis` with their
+    kernel's output-channel axis.
+    """
+
+    weight: Optional[LSQQuantizer] = None
+    activation: Optional[LSQQuantizer] = None
+
+    def weight_for_axis(self, axis: int) -> Optional[LSQQuantizer]:
+        if self.weight is None:
+            return None
+        if not self.weight.spec.per_channel:
+            return self.weight
+        return dataclasses.replace(
+            self.weight, spec=self.weight.spec.replace(axis=axis))
+
+    def activation_for_axis(self, axis: int) -> Optional[LSQQuantizer]:
+        if self.activation is None:
+            return None
+        if not self.activation.spec.per_channel:
+            return self.activation
+        return dataclasses.replace(
+            self.activation, spec=self.activation.spec.replace(axis=axis))
+
+
+def default_qconfig(
+    weight_bits: int = 8,
+    act_bits: int = 8,
+    *,
+    per_channel_weights: bool = False,
+    init_batches: int = 1000,
+    init_mode: str = "observer",
+    reduce_range: bool = True,
+    learn_params: bool = True,
+    impl: str = "auto",
+) -> QConfig:
+    """The reference README's recommended setup (README.md:103-126): qint8-style
+    symmetric weights + quint8-style affine activations, optionally range-
+    narrowed by one bit (``avoid_torch_overflow``), observer- or learnable-init
+    activations over ``init_batches``."""
+    wq = LSQQuantizer(
+        spec=QuantSpec.weight_default(
+            weight_bits, per_channel=per_channel_weights, axis=0,
+            reduce_range=reduce_range),
+        otype="weight",
+        learn_params=learn_params,
+        impl=impl,
+    )
+    aq = LSQQuantizer(
+        spec=QuantSpec.activation_default(act_bits, reduce_range=reduce_range),
+        otype="activation",
+        init_mode=init_mode,
+        n_batches=init_batches,
+        learn_params=learn_params,
+        impl=impl,
+    )
+    return QConfig(weight=wq, activation=aq)

@@ -31,6 +31,19 @@ Layout strategy: inputs are canonicalized once per call —
 Padding to tile multiples is applied only when shapes require it (aligned
 shapes — the common case for NN layers — take the fast path with zero copies).
 Out-of-range elements are excluded from the partial sums with iota masks.
+
+Measured reality on TPU v5e (see bench.py), recorded for honesty:
+
+* disjoint-buffer read+write streams ~2x slower than in-place on this chip, so
+  the backward aliases dX onto the dead grad buffer (input_output_aliases);
+* reshapes that change the trailing dim are physical copies under TPU tiled
+  layouts — the canonicalization below is zero-copy for aligned shapes;
+* even so, XLA's own fusion of the golden jnp backward (one pass: dX + both
+  reductions, with automatic buffer donation) measures ~25% faster than these
+  kernels and additionally fuses into neighboring ops inside real models, so
+  ``impl='auto'`` serves the XLA path and these kernels are the explicit
+  ``impl='pallas'`` option (and the blueprint for ops XLA cannot fuse, e.g.
+  the serving-path quantized matmuls).
 """
 
 from __future__ import annotations
@@ -53,10 +66,24 @@ __all__ = ["pallas_forward", "pallas_backward",
 LANES = 128
 F32EPS = float(np.finfo(np.float32).eps)
 
-# Row-tile height for the elementwise grids.  512 rows × 128 lanes × 4 B =
-# 256 KiB per block buffer — large enough to be bandwidth-bound, small enough
-# for double-buffered fwd (2 bufs) and bwd (4 bufs) to fit VMEM comfortably.
+# Block byte budgets for the elementwise grids.  Forward moves 2 streams
+# (double-buffered = 4 live blocks); backward moves 3 streams (= 6 live
+# blocks); both must stay under the ~16 MiB scoped-VMEM limit.  ~1-2 MiB
+# blocks measure fastest on v5e.
+FWD_BLOCK_BYTES = 2 * 1024 * 1024
+BWD_BLOCK_BYTES = 1 * 1024 * 1024
+# Legacy row-tile heights for the per-channel kernels (channel width varies).
 BLOCK_ROWS = 512
+BWD_BLOCK_ROWS = 256
+
+
+def _block_rows(budget_bytes: int, cols: int, rows: int) -> int:
+    bm = max(8, budget_bytes // (4 * cols))
+    bm = min(bm, rows)
+    # keep divisible-by-8 when trimming below the row count
+    if bm < rows:
+        bm -= bm % 8
+    return max(bm, 1)
 # Channel-tile width for per-channel kernels (multiple of 128 lanes).
 BLOCK_CHANNELS = 512
 
@@ -69,18 +96,56 @@ def _cdiv(a: int, b: int) -> int:
 # Layout canonicalization
 # --------------------------------------------------------------------------
 
-def _to_rows_lanes(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
-    """Flatten to (rows, LANES); returns (x2d, n_valid)."""
+def _pick_cols(n: int) -> int:
+    """Widest power-of-two row width (multiple of 128 lanes) that divides n —
+    wide rows mean fewer, larger grid blocks, which measurably streams faster
+    (128-lane tiles cost ~2x vs 1024-wide on v5e)."""
+    for c in (4096, 2048, 1024, 512, 256, 128):
+        if n % c == 0 and n // c >= 8:
+            return c
+    return LANES
+
+
+# Max lane width a single (bm, cols) block supports with bm >= 8 under the
+# backward's 1 MiB block budget.
+_MAX_DIRECT_COLS = 8192
+
+
+def _to_rows_lanes(x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
+    """Canonicalize to 2D (rows, cols) for the per-tensor kernels.
+
+    CRITICAL for performance: on TPU, arrays carry a tiled (8,128) physical
+    layout over the last two dims, so a reshape that changes the trailing dim
+    is a PHYSICAL COPY — it costs a full read+write AND breaks the
+    dX↔grad buffer aliasing (measured 2x slowdown on v5e).  Therefore:
+
+    * aligned 2D input                 → used as-is (zero-copy);
+    * ndim>2 with aligned trailing dims → leading dims collapsed, which
+      preserves the tiled layout (bitcast, zero-copy);
+    * anything else                    → flat fallback via _pick_cols
+      (physical copy; only hit by small/odd shapes).
+
+    Returns (x2d, n_valid, cols).
+    """
     n = x.size
-    rows = max(1, _cdiv(n, LANES))
-    pad = rows * LANES - n
+    if (x.ndim == 2 and x.shape[1] % LANES == 0 and x.shape[0] % 8 == 0
+            and x.shape[1] <= _MAX_DIRECT_COLS):
+        return x, n, x.shape[1]
+    if (x.ndim > 2 and x.shape[-1] % LANES == 0 and x.shape[-2] % 8 == 0
+            and x.shape[-1] <= _MAX_DIRECT_COLS):
+        return x.reshape(-1, x.shape[-1]), n, x.shape[-1]
+    cols = _pick_cols(n)
+    rows = max(1, _cdiv(n, cols))
+    pad = rows * cols - n
     xf = x.reshape(-1)
     if pad:
         xf = jnp.pad(xf, (0, pad))
-    return xf.reshape(rows, LANES), n
+    return xf.reshape(rows, cols), n, cols
 
 
 def _from_rows_lanes(y2d: jnp.ndarray, shape, n: int) -> jnp.ndarray:
+    if y2d.size == n:
+        return y2d.reshape(shape)
     return y2d.reshape(-1)[:n].reshape(shape)
 
 
@@ -129,7 +194,7 @@ def _pt_fwd_kernel(s_ref, b_ref, x_ref, o_ref, *, spec: QuantSpec):
 
 def _pt_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
                    spec: QuantSpec, init_mode: bool, eval_mode: bool,
-                   n_valid: int, gs: float, block_rows: int):
+                   n_valid: int, gs: float, block_rows: int, cols: int = LANES):
     """Fused per-tensor backward: dX tile + dS/dB accumulated across the grid.
 
     Math: lsq_kernel.h:94-123 (combined) / :126-145 (eval).
@@ -165,7 +230,7 @@ def _pt_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
 
         row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * block_rows
         col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-        valid = (row * LANES + col) < n_valid
+        valid = (row * cols + col) < n_valid
 
         xfq = (jnp.round(xq) - zp) * s
         geff = 2.0 * (xfq - x) if init_mode else g
@@ -278,9 +343,9 @@ def pallas_forward(x, scale, shift, *, spec: QuantSpec, init_mode: bool = False,
 
 
 def _pt_forward(x, scale, shift, spec, interpret):
-    x2d, n = _to_rows_lanes(x)
+    x2d, n, cols = _to_rows_lanes(x)
     rows = x2d.shape[0]
-    bm = min(BLOCK_ROWS, rows)
+    bm = _block_rows(FWD_BLOCK_BYTES, cols, rows)
     grid = (_cdiv(rows, bm),)
     out = pl.pallas_call(
         functools.partial(_pt_fwd_kernel, spec=spec),
@@ -289,9 +354,9 @@ def _pt_forward(x, scale, shift, spec, interpret):
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bm, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(_qp_smem(scale), _qp_smem(shift), x2d)
@@ -351,10 +416,10 @@ def pallas_backward(grad, x, scale, shift, *, spec: QuantSpec,
 
 def _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
                  interpret):
-    g2d, n = _to_rows_lanes(grad)
-    x2d, _ = _to_rows_lanes(x)
+    g2d, n, cols = _to_rows_lanes(grad)
+    x2d, _, _ = _to_rows_lanes(x)
     rows = x2d.shape[0]
-    bm = min(BLOCK_ROWS, rows)
+    bm = _block_rows(BWD_BLOCK_BYTES, cols, rows)
     ntiles = _cdiv(rows, bm)
     gs = effective_grad_scale(spec, numel if numel is not None else x.size)
 
@@ -363,7 +428,7 @@ def _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
     out_shape, out_specs = [], []
     if emit_dx:
         out_shape.append(jax.ShapeDtypeStruct(x2d.shape, x.dtype))
-        out_specs.append(pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+        out_specs.append(pl.BlockSpec((bm, cols), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
     if emit_partials:
         for _ in range(2):
@@ -372,18 +437,24 @@ def _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
             out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                           memory_space=pltpu.SMEM))
 
+    # dX aliases the incoming cotangent: g is dead after the VJP consumes it,
+    # and in-place HBM read+write streams ~2x faster than a disjoint write on
+    # v5e (measured; XLA gets the same effect via buffer donation).
+    alias = {2: 0} if emit_dx else {}
     outs = pl.pallas_call(
         functools.partial(_pt_bwd_kernel, spec=spec, init_mode=init_mode,
-                          eval_mode=eval_mode, n_valid=n, gs=gs, block_rows=bm),
+                          eval_mode=eval_mode, n_valid=n, gs=gs, block_rows=bm,
+                          cols=cols),
         out_shape=tuple(out_shape),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
+        input_output_aliases=alias,
         interpret=interpret,
     )(_qp_smem(scale), _qp_smem(shift), g2d, x2d)
 
@@ -430,6 +501,7 @@ def _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
             out_specs.append(pl.BlockSpec((8, ct), lambda j, i: (0, j),
                                           memory_space=pltpu.VMEM))
 
+    alias = {2: 0} if emit_dx else {}
     outs = pl.pallas_call(
         functools.partial(_pc_bwd_kernel, spec=spec, init_mode=init_mode,
                           eval_mode=eval_mode, n_valid_rows=rows, gs=gs,
@@ -443,6 +515,7 @@ def _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
             pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
+        input_output_aliases=alias,
         interpret=interpret,
     )(s2, b2, g2dp, x2dp)
 
@@ -479,7 +552,7 @@ def _pt_fwd_traced_kernel(s_ref, b_ref, f_ref, x_ref, o_ref, *, spec: QuantSpec)
 def _pt_bwd_traced_kernel(s_ref, b_ref, f_ref, g_ref, x_ref,
                           dx_ref, ds_ref, db_ref, *,
                           spec: QuantSpec, n_valid: int, gs: float,
-                          block_rows: int):
+                          block_rows: int, cols: int = LANES):
     qmin, qmax = float(spec.quant_min), float(spec.quant_max)
     s, zp = _pt_scalars(s_ref, b_ref, spec)
     ev, ini = f_ref[0, 0], f_ref[0, 1]
@@ -499,7 +572,7 @@ def _pt_bwd_traced_kernel(s_ref, b_ref, f_ref, g_ref, x_ref,
 
     row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0) + i * block_rows
     col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    valid = (row * LANES + col) < n_valid
+    valid = (row * cols + col) < n_valid
 
     xfq = (jnp.round(xq) - zp) * s
     geff = jnp.where(ini > 0, 2.0 * (xfq - x), g)
@@ -591,9 +664,9 @@ def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
             interpret=interpret,
         )(s2, b2, flags, x2dp)
         return _from_rows_channels(out[:rows, :c], x.shape, spec.axis)
-    x2d, n = _to_rows_lanes(x)
+    x2d, n, cols = _to_rows_lanes(x)
     rows = x2d.shape[0]
-    bm = min(BLOCK_ROWS, rows)
+    bm = _block_rows(FWD_BLOCK_BYTES, cols, rows)
     out = pl.pallas_call(
         functools.partial(_pt_fwd_traced_kernel, spec=spec),
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x.dtype),
@@ -602,9 +675,9 @@ def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bm, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(_qp_smem(scale), _qp_smem(shift), flags, x2d)
@@ -621,13 +694,14 @@ def pallas_backward_traced(grad, x, scale, shift, *, spec: QuantSpec,
         x2d, _, _ = _to_rows_channels(x, spec.axis)
         g2dp, x2dp = _pad2d(g2d, 8, LANES), _pad2d(x2d, 8, LANES)
         rp, cp = x2dp.shape
-        bm, ct = min(BLOCK_ROWS, rp), min(BLOCK_CHANNELS, cp)
+        bm, ct = min(BWD_BLOCK_ROWS, rp), min(BLOCK_CHANNELS, cp)
         grid = (_cdiv(cp, ct), _cdiv(rp, bm))
         gs = effective_grad_scale(spec, numel if numel is not None else x.size, c)
         s2, b2 = _pc_qparams(scale, shift, cp)
         dx, ds8, db8 = pl.pallas_call(
             functools.partial(_pc_bwd_traced_kernel, spec=spec,
                               n_valid_rows=rows, gs=gs, block_rows=bm),
+            input_output_aliases={3: 0},
             out_shape=(
                 jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
                 jax.ShapeDtypeStruct((8, cp), jnp.float32),
@@ -652,14 +726,15 @@ def pallas_backward_traced(grad, x, scale, shift, *, spec: QuantSpec,
         dS = jnp.sum(ds8[:, :c], axis=0).astype(scale.dtype)
         dB = jnp.sum(db8[:, :c], axis=0).astype(shift.dtype)
         return dX, dS, dB
-    g2d, n = _to_rows_lanes(grad)
-    x2d, _ = _to_rows_lanes(x)
+    g2d, n, cols = _to_rows_lanes(grad)
+    x2d, _, _ = _to_rows_lanes(x)
     rows = x2d.shape[0]
-    bm = min(BLOCK_ROWS, rows)
+    bm = _block_rows(BWD_BLOCK_BYTES, cols, rows)
     gs = effective_grad_scale(spec, numel if numel is not None else x.size)
     dx, ds, db = pl.pallas_call(
         functools.partial(_pt_bwd_traced_kernel, spec=spec, n_valid=n, gs=gs,
-                          block_rows=bm),
+                          block_rows=bm, cols=cols),
+        input_output_aliases={3: 0},
         out_shape=(
             jax.ShapeDtypeStruct(x2d.shape, x.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -670,11 +745,11 @@ def pallas_backward_traced(grad, x, scale, shift, *, spec: QuantSpec,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),

@@ -1,0 +1,136 @@
+"""Canonical QAT train/eval steps, single-chip or data-parallel over a mesh.
+
+This packages the train-step contract documented in jaxlsq/models/layers.py —
+optimizer updates applied on top of observer-written qparams — as a ready-made
+jitted step, optionally sharded over a ``Mesh``'s 'data' axis.
+
+Sharding model: jit-with-NamedSharding (not shard_map).  The step is traced at
+LOGICAL (global) shapes, so:
+
+* XLA inserts the gradient all-reduce (psum over 'data') for the replicated
+  params — including the quantizers' dS/dB — automatically;
+* the LSQ grad-scale ``1/sqrt(N·qmax)`` sees the GLOBAL batch numel, giving
+  exact paper semantics under data parallelism (the reference uses the local
+  per-replica numel, lsq_cpu.cpp:103 — SURVEY.md §2c flags this subtlety; we
+  resolve it to global-by-construction and document the deviation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import data_sharding, replicated
+
+__all__ = ["QATTrainState", "make_train_step", "make_eval_step",
+           "create_train_state", "cross_entropy_loss"]
+
+
+class QATTrainState(struct.PyTreeNode):
+    """Everything that evolves during QAT, as one checkpointable pytree
+    (SURVEY.md §5 'Checkpoint / resume': explicit state, no lazy-init trap)."""
+    step: jnp.ndarray
+    params: Any        # {'params': …, 'qparams': …} — both trainable
+    model_state: Any   # {'quant_state': …, 'batch_stats': …} — mutable
+    opt_state: Any
+
+
+def cross_entropy_loss(logits, batch):
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch["label"]).mean()
+
+
+def create_train_state(model, tx: optax.GradientTransformation, sample_x,
+                       rngs=None) -> QATTrainState:
+    variables = model.init(rngs or jax.random.key(0), sample_x, training=False)
+    params = {"params": variables["params"], "qparams": variables["qparams"]}
+    model_state = {k: v for k, v in variables.items()
+                   if k not in ("params", "qparams")}
+    return QATTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+    )
+
+
+_MUTABLE = ("quant_state", "qparams", "batch_stats")
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable = cross_entropy_loss,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build a jitted QAT train step: (state, batch) → (state, metrics).
+
+    ``batch`` is a dict with at least 'image'/'input' (first key fed to the
+    model) and whatever ``loss_fn`` needs.  With ``mesh``, the batch is
+    expected sharded over 'data' (use ``shard_batch``) and the state
+    replicated; XLA handles the collectives.
+    """
+
+    def step(state: QATTrainState, batch):
+        x = batch.get("input", batch.get("image"))
+
+        def compute_loss(params):
+            out, mut = model.apply(
+                {**params, **state.model_state}, x, training=True,
+                mutable=list(k for k in _MUTABLE if k != "qparams") + ["qparams"])
+            loss = loss_fn(out, batch)
+            return loss, (out, mut)
+
+        (loss, (out, mut)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        # optimizer updates on top of observer-written qparams (see
+        # jaxlsq/models/layers.py module docstring for why this is exact)
+        base = {"params": state.params["params"], "qparams": mut["qparams"]}
+        new_params = optax.apply_updates(base, updates)
+        new_model_state = {**state.model_state,
+                           **{k: v for k, v in mut.items() if k != "qparams"}}
+        new_state = QATTrainState(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    state_sh = replicated(mesh)
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """Eval forward (no state mutation persisted): (state, batch) → logits."""
+
+    def step(state: QATTrainState, batch):
+        x = batch.get("input", batch.get("image"))
+        out, _ = model.apply(
+            {**state.params, **state.model_state}, x, training=False,
+            mutable=list(_MUTABLE))
+        return out
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(replicated(mesh),
+                                       NamedSharding(mesh, P("data"))),
+                   out_shardings=NamedSharding(mesh, P("data")))

@@ -1,0 +1,134 @@
+"""Distributed tests without a cluster (SURVEY.md §4): 8 virtual CPU devices.
+
+Asserts the DP-correctness property the reference leaves implicit: the
+all-reduced dS/dB under a sharded batch equals the single-device global-batch
+result, and grad scaling uses the GLOBAL numel (jit-with-sharding traces at
+logical shapes — SURVEY.md §2c).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jaxlsq import QuantSpec, fake_quant
+from jaxlsq.models import QuantMLP, default_qconfig
+from jaxlsq.parallel import (
+    QATTrainState,
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(model=4)
+    assert mesh2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh(data=5, model=3)
+
+
+def test_dp_fakequant_grads_match_single_device():
+    """dS/dB of a data-sharded fake-quant == single-device global-batch grads."""
+    mesh = make_mesh()
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    scale, shift = jnp.array([0.1]), jnp.array([0.05])
+
+    def loss(x, s, b):
+        return jnp.sum(fake_quant(x, s, b, spec, impl="reference") ** 2)
+
+    # single device
+    ref = jax.grad(loss, argnums=(1, 2))(x, scale, shift)
+
+    # sharded over data
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    ss = jax.device_put(scale, NamedSharding(mesh, P()))
+    bs = jax.device_put(shift, NamedSharding(mesh, P()))
+    sharded = jax.jit(jax.grad(loss, argnums=(1, 2)))(xs, ss, bs)
+
+    for a, b in zip(ref, sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_grad_scale_uses_global_numel():
+    """The 1/sqrt(N·qmax) factor must see the global N: doubling the (sharded)
+    batch scales the sum-grad by 2/sqrt(2) = sqrt(2) for identical data."""
+    mesh = make_mesh()
+    spec = QuantSpec(quant_min=0, quant_max=15)
+    rng = np.random.RandomState(1)
+    half = rng.randn(32, 16).astype(np.float32)
+    x1 = jnp.asarray(half)
+    x2 = jnp.asarray(np.concatenate([half, half], axis=0))
+    scale, shift = jnp.array([0.1]), jnp.array([0.0])
+
+    def ds(x):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+        g = jax.jit(jax.grad(
+            lambda a, s, b: jnp.sum(fake_quant(a, s, b, spec, impl="reference")),
+            argnums=1))(xs, scale, shift)
+        return float(g[0])
+
+    # sum-grad doubles with data, grad-scale shrinks by sqrt(2)
+    np.testing.assert_allclose(ds(x2), 2 * ds(x1) / np.sqrt(2), rtol=1e-5)
+
+
+def _data(n=64, d=16, classes=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32)
+    w = rng.randn(d, classes).astype(np.float32)
+    y = np.argmax(x @ w, axis=1)
+    return {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+
+
+def test_dp_train_step_matches_single_device():
+    """Full QAT train step: replicated-state + sharded-batch result equals the
+    unsharded step, bitwise-tolerant."""
+    qc = default_qconfig(8, 8, init_batches=2, impl="reference")
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    tx = optax.sgd(1e-2)
+    batch = _data()
+
+    state1 = create_train_state(model, tx, batch["input"][:8])
+    step1 = make_train_step(model, tx, donate=False)
+
+    mesh = make_mesh()
+    state8 = create_train_state(model, tx, batch["input"][:8])
+    step8 = make_train_step(model, tx, mesh=mesh, donate=False)
+    batch8 = shard_batch(batch, mesh)
+
+    for i in range(4):
+        state1, m1 = step1(state1, batch)
+        state8, m8 = step8(state8, batch8)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+
+    s1 = np.asarray(state1.params["qparams"]["dense_0"]["act_fq"]["qp"]["scale"])
+    s8 = np.asarray(state8.params["qparams"]["dense_0"]["act_fq"]["qp"]["scale"])
+    np.testing.assert_allclose(s1, s8, rtol=1e-5)
+    assert int(state8.step) == 4
+
+
+def test_eval_step_sharded():
+    qc = default_qconfig(8, 8, init_batches=0, impl="reference")
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    tx = optax.sgd(1e-2)
+    batch = _data()
+    mesh = make_mesh()
+    state = create_train_state(model, tx, batch["input"][:8])
+    ev = make_eval_step(model, mesh=mesh)
+    logits = ev(state, shard_batch(batch, mesh))
+    assert logits.shape == (64, 4)
+    assert np.all(np.isfinite(np.asarray(logits)))
