@@ -21,4 +21,7 @@ __version__ = "0.1.0"
 from .core.spec import QuantSpec
 from .ops.functional import fake_quant, fake_quant_traced, lsq
 
+# Subpackages (imported lazily where heavy): jaxlsq.observers, jaxlsq.models,
+# jaxlsq.parallel, jaxlsq.serve, jaxlsq.utils, jaxlsq.native.
+
 __all__ = ["QuantSpec", "fake_quant", "fake_quant_traced", "lsq", "__version__"]

@@ -42,6 +42,37 @@ from .qconfig import QConfig
 
 __all__ = ["FakeQuantize", "QuantDense", "QuantConv"]
 
+
+def _dummy_packed(kernel_shape, wspec, axis):
+    """Zero-filled PackedWeight template so a serve-mode model can ``init()``
+    standalone; real values come from ``jaxlsq.serve.convert``."""
+    from ..serve.convert import serving_bits
+    from ..serve.pack import PackedWeight
+
+    bits = serving_bits(wspec)
+    k_axis = 0 if len(kernel_shape) == 2 else len(kernel_shape) - 2
+    dshape = list(kernel_shape)
+    if bits == 4:
+        dshape[k_axis] //= 2
+    c = kernel_shape[axis] if wspec.per_channel else 1
+    return PackedWeight(
+        data=jnp.zeros(dshape, jnp.int8),
+        scale=jnp.ones((c,), jnp.float32),
+        zero_point=jnp.zeros((c,), jnp.int32),
+        bits=bits, axis=axis, k_axis=k_axis,
+        orig_shape=tuple(kernel_shape))
+
+
+def _static_act_quant(x, scale, zp, aspec):
+    """Frozen fake-quant with converted activation qparams — the serving-side
+    analogue of eval-mode fake-quant (lsq_kernel.h:6-14 with fixed zp)."""
+    per_channel = scale.shape[0] > 1
+    s = (scale.reshape((1,) * (x.ndim - 1) + (-1,)) if per_channel
+         else scale.reshape(()))
+    z = zp.astype(x.dtype).reshape(s.shape)
+    xq = jnp.round(jnp.clip(x / s + z, aspec.quant_min, aspec.quant_max))
+    return ((xq - z) * s).astype(x.dtype)
+
 _QSTATE_FIELDS = ("current_batch", "n_batches", "fake_quant_enabled",
                   "observer_enabled", "learning_enabled", "obs")
 
@@ -89,20 +120,46 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        acfg = self.qconfig.activation_for_axis(x.ndim - 1)
-        if acfg is not None:
-            x = FakeQuantize(acfg, name="act_fq")(x, training=training)
-        kernel = self.param("kernel", self.kernel_init,
-                            (x.shape[-1], self.features))
-        wcfg = self.qconfig.weight_for_axis(1)
-        if wcfg is not None:
-            kernel = FakeQuantize(wcfg, name="weight_fq")(
-                kernel, training=training)
-        y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+        if self.qconfig.mode == "serve":
+            y = self._serve(x)
+        else:
+            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            if acfg is not None:
+                x = FakeQuantize(acfg, name="act_fq")(x, training=training)
+            kernel = self.param("kernel", self.kernel_init,
+                                (x.shape[-1], self.features))
+            wcfg = self.qconfig.weight_for_axis(1)
+            if wcfg is not None:
+                kernel = FakeQuantize(wcfg, name="weight_fq")(
+                    kernel, training=training)
+            y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias
         return y.astype(self.dtype or x.dtype)
+
+    def _serve(self, x):
+        """Frozen inference on packed weights: the fused weight-only matmul
+        (jaxlsq/serve/matmul.py) replaces fake-quant + float matmul."""
+        from ..serve.matmul import dynamic_int8_matmul, wo_matmul
+
+        wspec = self.qconfig.weight_for_axis(1).spec
+        kshape = (x.shape[-1], self.features)
+        packed = self.variable("quantized", "kernel",
+                               lambda: _dummy_packed(kshape, wspec, 1)).value
+        if self.qconfig.activation is not None:
+            c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+            ascale = self.variable("quantized", "act_scale",
+                                   lambda: jnp.ones((c,), jnp.float32)).value
+            azp = self.variable("quantized", "act_zp",
+                                lambda: jnp.zeros((c,), jnp.int32)).value
+            if self.qconfig.act_mode == "static":
+                x = _static_act_quant(x, ascale, azp,
+                                      self.qconfig.activation.spec)
+        if self.qconfig.act_mode == "dynamic":
+            return dynamic_int8_matmul(x, packed)
+        return wo_matmul(x, packed, impl=self.qconfig.serve_impl,
+                         precision=self.qconfig.serve_precision)
 
 
 class QuantConv(nn.Module):
@@ -123,17 +180,39 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        acfg = self.qconfig.activation_for_axis(x.ndim - 1)
-        if acfg is not None:
-            x = FakeQuantize(acfg, name="act_fq")(x, training=training)
         kh, kw = self.kernel_size
         in_feat = x.shape[-1] // self.feature_group_count
-        kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, in_feat, self.features))
-        wcfg = self.qconfig.weight_for_axis(3)
-        if wcfg is not None:
-            kernel = FakeQuantize(wcfg, name="weight_fq")(
-                kernel, training=training)
+        if self.qconfig.mode == "serve":
+            # Weight-only conv: int-packed kernel dequantized on the fly (the
+            # HBM win is the 4-8x smaller weight stream; conv compute stays
+            # float — convs are activation-bound, unlike the dense path).
+            from ..serve.pack import dequantize_weight
+
+            wspec = self.qconfig.weight_for_axis(3).spec
+            kshape = (kh, kw, in_feat, self.features)
+            packed = self.variable(
+                "quantized", "kernel",
+                lambda: _dummy_packed(kshape, wspec, 3)).value
+            if self.qconfig.activation is not None:
+                c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+                ascale = self.variable("quantized", "act_scale",
+                                       lambda: jnp.ones((c,), jnp.float32)).value
+                azp = self.variable("quantized", "act_zp",
+                                    lambda: jnp.zeros((c,), jnp.int32)).value
+                if self.qconfig.act_mode == "static":
+                    x = _static_act_quant(x, ascale, azp,
+                                          self.qconfig.activation.spec)
+            kernel = dequantize_weight(packed, x.dtype)
+        else:
+            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            if acfg is not None:
+                x = FakeQuantize(acfg, name="act_fq")(x, training=training)
+            kernel = self.param("kernel", self.kernel_init,
+                                (kh, kw, in_feat, self.features))
+            wcfg = self.qconfig.weight_for_axis(3)
+            if wcfg is not None:
+                kernel = FakeQuantize(wcfg, name="weight_fq")(
+                    kernel, training=training)
         strides = ((self.strides, self.strides)
                    if isinstance(self.strides, int) else tuple(self.strides))
         y = jax.lax.conv_general_dilated(

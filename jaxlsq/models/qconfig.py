@@ -30,10 +30,35 @@ class QConfig:
     Either may be None (that side is not quantized).  Axis fields inside the
     templates are placeholders; layers call :meth:`weight_for_axis` with their
     kernel's output-channel axis.
+
+    ``mode`` selects how QuantDense/QuantConv execute:
+      * 'qat'   — fake-quant training path (default);
+      * 'serve' — frozen inference on weights packed by
+        ``jaxlsq.serve.convert`` (weight-only INT8/INT4 matmul with fused
+        dequant epilogue).  ``act_mode`` then picks the activation handling:
+        'none' (weight-only), 'static' (frozen fake-quant with the converted
+        act qparams), or 'dynamic' (per-tensor dynamic int8×int8 matmul).
     """
 
     weight: Optional[LSQQuantizer] = None
     activation: Optional[LSQQuantizer] = None
+    mode: str = "qat"
+    act_mode: str = "none"
+    serve_impl: str = "auto"
+    # MXU precision for the serving matmuls: None = fast single-pass bf16
+    # (int8 weights are bf16-exact; only activations round, ~2^-9 rel);
+    # 'highest' = f32-exact 3-pass, for parity checks / f32-sensitive heads.
+    serve_precision: Optional[str] = None
+
+    def for_serving(self, act_mode: str = "none", impl: str = "auto",
+                    precision: Optional[str] = None) -> "QConfig":
+        """The serving twin of this config (same specs, serve-mode layers) —
+        apply the SAME model class with this config and the variables from
+        ``jaxlsq.serve.convert``."""
+        if act_mode not in ("none", "static", "dynamic"):
+            raise ValueError(f"unknown act_mode {act_mode!r}")
+        return dataclasses.replace(self, mode="serve", act_mode=act_mode,
+                                   serve_impl=impl, serve_precision=precision)
 
     def weight_for_axis(self, axis: int) -> Optional[LSQQuantizer]:
         if self.weight is None:

@@ -1,0 +1,22 @@
+"""jaxlsq.serve — frozen INT8/INT4 inference path.
+
+The serving half of the framework (SURVEY.md §7 step 6; the reference stops at
+handing qparams to ``torch.quantization.convert``, observers.py:403-422):
+
+* ``pack``    — quantize + nibble-pack trained weights (PackedWeight pytree).
+* ``matmul``  — weight-only matmul with dequant fused into the epilogue
+  (Pallas TPU kernel) + dynamic int8×int8 path.
+* ``convert`` — QAT variables → serving variables; TP sharding helpers.
+"""
+
+from .convert import convert, shard_converted, shard_packed, serving_bits
+from .matmul import dynamic_int8_matmul, wo_matmul
+from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
+                   unpack_int4)
+
+__all__ = [
+    "convert", "shard_converted", "shard_packed", "serving_bits",
+    "dynamic_int8_matmul", "wo_matmul",
+    "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",
+    "unpack_int4",
+]

@@ -1,0 +1,157 @@
+"""QAT → serving conversion: the ``torch.quantization.convert`` equivalent.
+
+The reference's convert path (SURVEY.md §3.4) asks every LSQFakeQuantizer for
+``calculate_qparams()`` (observers.py:403-422) and lets torch rebuild the
+module with qint8 kernels.  Here :func:`convert` walks the trained flax
+variables, folds each weight quantizer's learned (scale, shift) into
+(scale, zero_point), quantizes + packs the kernels (jaxlsq/serve/pack.py),
+and freezes each activation quantizer's qparams — producing the variables for
+the same model applied in serving mode (``qconfig.for_serving()``:
+QuantDense/QuantConv then run the fused weight-only matmul of
+jaxlsq/serve/matmul.py instead of fake-quant + float matmul).
+
+Tensor-parallel serving: :func:`shard_packed` places a PackedWeight
+column-parallel over the mesh 'model' axis (N-sharded data + qparams);
+:func:`shard_converted` does it for a whole converted variables tree.  Under
+jit, XLA inserts the all-gathers/reduce-scatters (SURVEY.md §5 "Distributed
+communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.spec import QuantSpec
+from ..observers.quantizer import convert_shift_to_zp
+from .pack import PackedWeight, quantize_weight
+
+__all__ = ["convert", "shard_packed", "shard_converted", "serving_bits"]
+
+
+def serving_bits(spec: QuantSpec) -> int:
+    """Carrier width the serving path uses for a weight spec: int4 when the
+    trained quant range fits 16 levels, else int8 (same rule as
+    pack.quantize_weight)."""
+    return 4 if (spec.quant_max - spec.quant_min + 1) <= 16 else 8
+
+
+def _act_qparams(qp: Dict[str, jnp.ndarray], spec: QuantSpec
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Freeze an activation quantizer: eps-clamped scale + shift→zp fold
+    (observers.py:417,419)."""
+    scale = jnp.maximum(qp["scale"].astype(jnp.float32),
+                        jnp.finfo(jnp.float32).eps)
+    zp = convert_shift_to_zp(qp["shift"], scale, spec)
+    return scale, zp
+
+
+def _weight_axis_for(kernel: jnp.ndarray) -> int:
+    """Output-channel axis by kernel layout: dense (K, N) → 1;
+    conv (kh, kw, in, out) → ndim-1 (models/layers.py conventions)."""
+    return kernel.ndim - 1
+
+
+def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
+    """Convert trained QAT variables into serving variables.
+
+    Args:
+      variables: the full trained variables dict — must contain 'params' and
+        'qparams' (plus anything else, e.g. 'batch_stats', passed through).
+      qconfig: the QConfig the model was trained with (supplies the weight /
+        activation QuantSpecs; per-channel axis is re-derived per kernel).
+
+    Returns a variables dict for the SAME model applied with
+    ``qconfig.for_serving(...)``: packed kernels live in a 'quantized'
+    collection, packed kernels are dropped from 'params', and 'qparams' /
+    'quant_state' are dropped entirely.
+    """
+    params = variables["params"]
+    qparams = variables.get("qparams", {})
+
+    def walk(p_tree, q_tree):
+        if not isinstance(p_tree, dict):
+            return p_tree, None
+        has_wq = (isinstance(q_tree, dict) and "weight_fq" in q_tree
+                  and "kernel" in p_tree)
+        if has_wq:
+            kernel = p_tree["kernel"]
+            axis = _weight_axis_for(kernel)
+            wspec = qconfig.weight.spec.replace(axis=axis) \
+                if qconfig.weight.spec.per_channel else qconfig.weight.spec
+            wqp = q_tree["weight_fq"]["qp"]
+            packed = quantize_weight(
+                kernel, wqp["scale"], wqp["shift"], wspec,
+                bits=serving_bits(wspec))
+            quantized: Dict[str, Any] = {"kernel": packed}
+            if "act_fq" in q_tree and qconfig.activation is not None:
+                ascale, azp = _act_qparams(q_tree["act_fq"]["qp"],
+                                           qconfig.activation.spec)
+                quantized["act_scale"] = ascale
+                quantized["act_zp"] = azp
+            new_p = {k: v for k, v in p_tree.items() if k != "kernel"}
+            return new_p, quantized
+        new_p, new_q = {}, {}
+        for k, v in p_tree.items():
+            sub_q = q_tree.get(k, {}) if isinstance(q_tree, dict) else {}
+            np_, nq_ = walk(v, sub_q)
+            if np_ not in ({},):
+                new_p[k] = np_
+            if nq_:
+                new_q[k] = nq_
+        return new_p, new_q
+
+    new_params, quantized = walk(params, qparams)
+    out = {"params": new_params, "quantized": quantized or {}}
+    for k, v in variables.items():
+        if k not in ("params", "qparams", "quant_state", "quantized"):
+            out[k] = v
+    return out
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel placement
+# --------------------------------------------------------------------------
+
+def shard_packed(packed: PackedWeight, mesh: Mesh,
+                 axis_name: str = "model") -> PackedWeight:
+    """Column-parallel TP placement: shard the output-feature (N) axis of the
+    data and the per-channel qparams over ``axis_name``; replicate per-tensor
+    qparams.  Weights whose N is not divisible by the axis size (e.g. a small
+    classifier head) are replicated instead — correct either way, XLA just
+    skips the collective for them."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    n = packed.data.shape[-1]
+    if n % axis_size:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(lambda l: jax.device_put(l, repl), packed)
+    ndim = packed.data.ndim
+    spec = [None] * ndim
+    spec[-1] = axis_name  # N is last for both dense (K,N) and conv HWIO
+    data = jax.device_put(packed.data, NamedSharding(mesh, P(*spec)))
+    if packed.scale.shape[0] > 1:
+        qsh = NamedSharding(mesh, P(axis_name))
+    else:
+        qsh = NamedSharding(mesh, P())
+    return packed.replace(
+        data=data,
+        scale=jax.device_put(packed.scale, qsh),
+        zero_point=jax.device_put(packed.zero_point, qsh))
+
+
+def shard_converted(variables: Dict[str, Any], mesh: Mesh,
+                    axis_name: str = "model") -> Dict[str, Any]:
+    """Shard every PackedWeight in a converted variables tree column-parallel
+    over ``axis_name``; replicate everything else."""
+    repl = NamedSharding(mesh, P())
+
+    def place(leaf):
+        if isinstance(leaf, PackedWeight):
+            return shard_packed(leaf, mesh, axis_name)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree.map(place, variables,
+                        is_leaf=lambda l: isinstance(l, PackedWeight))

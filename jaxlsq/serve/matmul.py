@@ -1,0 +1,277 @@
+"""Weight-only INT8/INT4 matmul with dequant fused into the epilogue.
+
+The serving-path compute kernel (BASELINE.json north_star: "the learned
+scale/shift fold into a weight-only INT8/INT4 serving path where dequant fuses
+into the matmul epilogue").  The reference has no serving kernels at all — it
+hands (scale, zero_point) to ``torch.quantization.convert`` (observers.py:419,
+SURVEY.md §3.4); on TPU the equivalent seam is this module.
+
+Three compute paths:
+
+* ``impl='xla'``    — ``x @ dequant(w)``: XLA fuses the int→float convert into
+  the dot's operand pipeline.  Baseline + CPU path.
+* ``impl='pallas'`` — fused kernel: int8 (or nibble-packed int4) weight tiles
+  stream HBM→VMEM at 1/4–1/8 the float bandwidth, are dequantized IN VMEM
+  (zp-subtract + convert), matmul'd on the MXU with f32 accumulation, and the
+  per-output-channel scale is applied once in the epilogue on the final
+  K-step.  The dequantized weights never exist in HBM.
+* ``dynamic_int8_matmul`` — full-int8 path: activations quantized per-tensor
+  on the fly (abs-max), int8×int8 MXU matmul with i32 accumulation, combined
+  dequant epilogue ``out = sx·sw[n]·(acc − zp[n]·rowsum(x_q))``.
+
+Weight layout contract: logical weight is (K, N) — contraction first, like
+QuantDense's kernel (models/layers.py) — with per-channel qparams on N
+(axis=1).  Per-tensor qparams (shape (1,)) broadcast.
+
+Sharding: all paths are plain einsum-like ops under jit — shard the packed
+weight's N axis over the mesh 'model' axis (column-parallel TP) with
+``shard_packed`` from jaxlsq/serve/convert.py and XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import PackedWeight, dequantize_weight
+
+__all__ = ["wo_matmul", "dynamic_int8_matmul"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _resolve_interpret(interpret) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return bool(interpret)
+
+
+def _flatten_batch(x: jnp.ndarray):
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    return x.reshape(m, x.shape[-1]), lead
+
+
+# --------------------------------------------------------------------------
+# Fused weight-only kernels
+# --------------------------------------------------------------------------
+
+def _wo8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, nk: int,
+                precision=None):
+    """One (bm, bn) output tile: f32-accumulated x·dequant(w8) over K steps.
+
+    Grid (m, n, k) with k innermost ("arbitrary"); acc scratch persists
+    across the k loop; scale applied once in the epilogue (last k step).
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # zp-subtract fused into the VMEM dequant (zp is f32-held per-channel)
+    w = w_ref[:].astype(jnp.float32) - z_ref[:]
+    acc_ref[:] += jax.lax.dot(
+        x_ref[:].astype(jnp.float32), w,
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+def _wo4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                nk: int, precision=None):
+    """Int4 variant: each packed byte tile holds TWO k-tiles (split-half
+    layout, see pack.pack_int4) unpacked with elementwise shifts — no
+    cross-sublane shuffle — each matmul'd against its own x k-tile."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Unpack in i32: Mosaic does not legalize sub-word (i8) vector shifts on
+    # TPU, and i8→i32→shift→f32 is still pure VPU work fused into the tile.
+    p = p_ref[:].astype(jnp.int32)
+    wlo = ((p << 28) >> 28).astype(jnp.float32) - z_ref[:]  # sign-extend bits 0-3
+    whi = (p >> 4).astype(jnp.float32) - z_ref[:]           # arithmetic high nibble
+    acc_ref[:] += jax.lax.dot(xlo_ref[:].astype(jnp.float32), wlo,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    acc_ref[:] += jax.lax.dot(xhi_ref[:].astype(jnp.float32), whi,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, mult0: int, mult1: int) -> jnp.ndarray:
+    p0 = _cdiv(x.shape[0], mult0) * mult0 - x.shape[0]
+    p1 = _cdiv(x.shape[1], mult1) * mult1 - x.shape[1]
+    if p0 or p1:
+        x = jnp.pad(x, ((0, p0), (0, p1)))
+    return x
+
+
+def _qparams_rows(p: PackedWeight, n_pad: int):
+    """Per-channel qparams as (1, N_pad) f32 rows (broadcast if per-tensor)."""
+    n = p.orig_shape[1]
+    s = p.scale.astype(jnp.float32)
+    z = p.zero_point.astype(jnp.float32)
+    if s.shape[0] == 1:
+        s = jnp.broadcast_to(s, (n,))
+        z = jnp.broadcast_to(z, (n,))
+    if n_pad > n:
+        s = jnp.pad(s, (0, n_pad - n), constant_values=1.0)
+        z = jnp.pad(z, (0, n_pad - n))
+    return s.reshape(1, n_pad), z.reshape(1, n_pad)
+
+
+def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
+                      precision=None):
+    kdim, n = p.orig_shape
+    m = x2d.shape[0]
+    bm = min(bm, max(8, _cdiv(m, 8) * 8))
+    xp = _pad_to(x2d.astype(jnp.float32), bm, bk)
+    mp = xp.shape[0]
+    grid_m, grid_n = _cdiv(mp, bm), _cdiv(_cdiv(n, bn) * bn, bn)
+    n_pad = grid_n * bn
+    s2, z2 = _qparams_rows(p, n_pad)
+
+    if p.bits == 8:
+        wp = _pad_to(p.data, bk, bn)          # (K_pad, N_pad) int8
+        kp = wp.shape[0]
+        if xp.shape[1] < kp:
+            xp = jnp.pad(xp, ((0, 0), (0, kp - xp.shape[1])))
+        nk = kp // bk
+        out = pl.pallas_call(
+            functools.partial(_wo8_kernel, nk=nk, precision=precision),
+            out_shape=jax.ShapeDtypeStruct((mp, n_pad), out_dtype),
+            grid=(grid_m, grid_n, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(xp, wp, s2, z2)
+        return out[:m, :n]
+
+    # int4: packed data is (K/2, N); each packed k-tile consumes two x k-tiles
+    # (logical k and k + K/2 — the split-half layout).
+    k2 = p.data.shape[0]
+    if xp.shape[1] < 2 * k2:
+        xp = jnp.pad(xp, ((0, 0), (0, 2 * k2 - xp.shape[1])))
+    wp = _pad_to(p.data, bk, bn)
+    k2p = wp.shape[0]
+    if k2p > k2:  # keep x halves aligned with the padded packed rows
+        xlo = jnp.pad(xp[:, :k2], ((0, 0), (0, k2p - k2)))
+        xhi = jnp.pad(xp[:, k2:2 * k2], ((0, 0), (0, k2p - k2)))
+    else:
+        xlo, xhi = xp[:, :k2], xp[:, k2:2 * k2]
+    nk = k2p // bk
+    out = pl.pallas_call(
+        functools.partial(_wo4_kernel, nk=nk, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((mp, n_pad), out_dtype),
+        grid=(grid_m, grid_n, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(xlo, xhi, wp, s2, z2)
+    return out[:m, :n]
+
+
+def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
+              impl: str = "auto",
+              out_dtype=None,
+              block_m: int = 256, block_n: int = 512, block_k: int = 512,
+              precision=None,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """``x @ dequant(packed)`` with the dequant fused into the matmul.
+
+    Args:
+      x: (..., K) float activations.
+      packed: PackedWeight of a logical (K, N) weight, per-channel on N.
+      impl: 'auto' (pallas on TPU, xla elsewhere) | 'pallas' | 'xla'.
+      precision: MXU precision for f32 inputs (jax.lax.Precision).  None =
+        default single-pass bf16 (right for serving: int8 weight values are
+        exactly representable in bf16, only the activations round, rel err
+        ~2^-9).  Pass HIGHEST for f32-exact parity checks.
+    """
+    if len(packed.orig_shape) != 2:
+        raise ValueError("wo_matmul needs a 2-D (K, N) packed weight; "
+                         "convs go through dequant + lax.conv")
+    out_dtype = out_dtype or x.dtype
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    x2d, lead = _flatten_batch(x)
+    if impl == "xla":
+        w = dequantize_weight(packed, jnp.float32)
+        out = jnp.matmul(x2d.astype(jnp.float32), w,
+                         preferred_element_type=jnp.float32,
+                         precision=precision).astype(out_dtype)
+    else:
+        out = _wo_matmul_pallas(x2d, packed, out_dtype, block_m, block_n,
+                                block_k, _resolve_interpret(interpret),
+                                precision=precision)
+    return out.reshape(*lead, packed.orig_shape[1])
+
+
+# --------------------------------------------------------------------------
+# Dynamic full-int8 path (int8 x int8 -> int32 on the MXU)
+# --------------------------------------------------------------------------
+
+def dynamic_int8_matmul(x: jnp.ndarray, packed: PackedWeight, *,
+                        out_dtype=None) -> jnp.ndarray:
+    """Per-tensor dynamic activation quant + int8×int8 matmul + fused dequant.
+
+    ``x_q = round(x/sx)`` with ``sx = max|x|/127``; the epilogue folds both
+    scales and the weight zero-point:
+    ``out = sx·sw[n]·(x_q·w_q − zp[n]·rowsum(x_q))``.
+    Runs as XLA ops (TPU MXU executes the i8×i8→i32 dot natively); everything
+    around the dot fuses.
+    """
+    if packed.bits != 8:
+        raise ValueError("dynamic_int8_matmul needs an int8-packed weight")
+    out_dtype = out_dtype or x.dtype
+    x2d, lead = _flatten_batch(x)
+    xf = x2d.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf)) / 127.0
+    sx = jnp.maximum(sx, jnp.finfo(jnp.float32).tiny)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jax.lax.dot(xq, packed.data, preferred_element_type=jnp.int32)
+    sw = packed.scale.astype(jnp.float32)
+    zp = packed.zero_point.astype(jnp.float32)
+    if sw.shape[0] == 1:
+        sw = jnp.broadcast_to(sw, (packed.orig_shape[1],))
+        zp = jnp.broadcast_to(zp, (packed.orig_shape[1],))
+    rowsum = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+    out = (acc.astype(jnp.float32) - rowsum.astype(jnp.float32) * zp[None, :])
+    out = out * (sx * sw)[None, :]
+    return out.astype(out_dtype).reshape(*lead, packed.orig_shape[1])

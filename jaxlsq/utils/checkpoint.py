@@ -1,0 +1,107 @@
+"""Checkpoint / resume for QAT state pytrees.
+
+The reference persists only what falls out of ``state_dict`` — learnable
+scale/shift Parameters plus four uint8 flag buffers — and silently LOSES
+``_initialized``/``n_batches``/``init_mode`` across a round-trip while lazy
+param init breaks load-before-forward entirely (observers.py:245-257,
+SURVEY.md §5 "Checkpoint / resume" pitfalls).  This framework avoids both by
+design: everything that evolves is one explicit pytree (QATTrainState,
+QuantizerState), so checkpointing is a plain pytree save/restore.
+
+Backend: orbax-checkpoint when importable (the production path: async,
+multi-host, sharding-aware), with a self-contained ``.npz`` fallback so
+checkpointing never becomes an optional feature.  Both backends write/read
+the SAME logical content (the flattened pytree leaves + treedef check).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+try:  # orbax is in the base image; gate anyway (SURVEY.md environment note)
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _step_dir(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"step_{step:010d}")
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    """Largest completed checkpoint step in ``ckpt_dir``, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            marker = os.path.join(ckpt_dir, name, "_COMPLETE")
+            orbax_ok = os.path.isdir(os.path.join(ckpt_dir, name, "state"))
+            if os.path.exists(marker) or orbax_ok:
+                steps.append(int(name[len("step_"):]))
+    return max(steps) if steps else None
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int, *,
+                    use_orbax: Optional[bool] = None) -> str:
+    """Write ``state`` (any pytree) for ``step``; returns the checkpoint path.
+
+    Writes are atomic at the directory level: the npz backend stamps a
+    ``_COMPLETE`` marker last; orbax has its own atomicity protocol.
+    """
+    use_orbax = _HAS_ORBAX if use_orbax is None else use_orbax
+    path = _step_dir(ckpt_dir, step)
+    os.makedirs(path, exist_ok=True)
+    state = jax.device_get(state)
+    if use_orbax:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+        ckptr.wait_until_finished()
+        return path
+    leaves, treedef = jax.tree.flatten(state)
+    np.savez(os.path.join(path, "leaves.npz"),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    with open(os.path.join(path, "treedef.json"), "w") as f:
+        json.dump({"treedef": str(treedef), "n": len(leaves)}, f)
+    with open(os.path.join(path, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any, *,
+                       step: Optional[int] = None,
+                       use_orbax: Optional[bool] = None) -> Any:
+    """Restore into the structure of ``target`` (an abstract or concrete
+    pytree of the same shape — e.g. a freshly built QATTrainState; no dummy
+    forward needed, unlike the reference's lazy-init trap)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = _step_dir(ckpt_dir, step)
+    orbax_state = os.path.join(path, "state")
+    use_orbax = (os.path.isdir(orbax_state) if use_orbax is None
+                 else use_orbax)
+    if use_orbax:
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(orbax_state, target)
+    with open(os.path.join(path, "treedef.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "leaves.npz"))
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(meta["n"])]
+    treedef = jax.tree.structure(target)
+    if str(treedef) != meta["treedef"]:
+        raise ValueError(
+            "checkpoint tree structure does not match target:\n"
+            f"  saved:  {meta['treedef']}\n  target: {treedef}")
+    return jax.tree.unflatten(treedef, leaves)

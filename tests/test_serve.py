@@ -1,0 +1,289 @@
+"""Serving-path tests: packing, fused weight-only matmul, conversion, TP.
+
+Oracle chain (SURVEY.md §4 golden-model strategy):
+  fake_quant(w) == dequant(pack(w))          — the convert seam is exact
+  wo_matmul     == x @ dequant(pack(w))      — the fused epilogue is exact
+  serve model   == QAT eval model            — end-to-end conversion parity
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from jaxlsq import QuantSpec, fake_quant
+from jaxlsq.models import QuantCNN, QuantMLP, default_qconfig
+from jaxlsq.parallel import create_train_state, make_mesh, make_train_step
+from jaxlsq.serve import (PackedWeight, convert, dequantize_weight,
+                          dynamic_int8_matmul, pack_int4, quantize_weight,
+                          shard_converted, unpack_int4, wo_matmul)
+
+
+def rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+# --------------------------------------------------------------------------
+# pack / unpack
+# --------------------------------------------------------------------------
+
+def test_int4_pack_roundtrip():
+    q = jnp.asarray(rng().randint(-8, 8, size=(16, 6)), jnp.int8)
+    for axis in (0, 1):
+        qa = q if axis == 0 else q.T
+        p = pack_int4(qa, k_axis=0)
+        assert p.shape[0] == qa.shape[0] // 2
+        np.testing.assert_array_equal(unpack_int4(p, 0), qa)
+
+
+def test_int4_pack_odd_k_raises():
+    with pytest.raises(ValueError):
+        pack_int4(jnp.zeros((3, 4), jnp.int8), k_axis=0)
+
+
+@pytest.mark.parametrize("per_channel", [False, True])
+@pytest.mark.parametrize("bits", [8, 4])
+def test_pack_dequant_matches_fake_quant(per_channel, bits):
+    """dequant(pack(w)) == eval-mode fake_quant(w): the serving handoff is
+    bit-exact with the QAT numerics (lsq_kernel.h:6-14)."""
+    spec = QuantSpec.make(bits, signed=True, symmetric=True,
+                          per_channel=per_channel, axis=1)
+    w = jnp.asarray(rng(1).randn(32, 24).astype(np.float32))
+    c = 24 if per_channel else 1
+    scale = jnp.asarray(0.02 + 0.01 * rng(2).rand(c).astype(np.float32))
+    shift = jnp.zeros((c,), jnp.float32)
+    packed = quantize_weight(w, scale, shift, spec, bits=bits)
+    want = fake_quant(w, scale, shift, spec, eval_mode=True)
+    np.testing.assert_allclose(dequantize_weight(packed), want, rtol=0, atol=0)
+
+
+def test_pack_affine_zero_point():
+    spec = QuantSpec.make(8, signed=False, symmetric=False, per_channel=False)
+    w = jnp.asarray(rng(3).rand(16, 8).astype(np.float32))  # positive weights
+    scale = jnp.asarray([0.01], jnp.float32)
+    shift = jnp.asarray([-0.05], jnp.float32)
+    packed = quantize_weight(w, scale, shift, spec, bits=8)
+    # zp = round(clamp(-shift/scale, tmin, tmax)) (observers.py:397-401)
+    assert int(packed.zero_point[0]) == 5
+    want = fake_quant(w, scale, shift, spec, eval_mode=True)
+    np.testing.assert_allclose(dequantize_weight(packed), want, atol=0)
+
+
+# --------------------------------------------------------------------------
+# fused weight-only matmul
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_wo_matmul_matches_dequant_matmul(impl, bits, per_channel):
+    spec = QuantSpec.make(bits, signed=True, symmetric=True,
+                          per_channel=per_channel, axis=1)
+    k, n, m = 64, 48, 24
+    w = jnp.asarray(rng(4).randn(k, n).astype(np.float32))
+    c = n if per_channel else 1
+    scale = jnp.asarray(0.05 + 0.02 * rng(5).rand(c).astype(np.float32))
+    shift = jnp.zeros((c,), jnp.float32)
+    packed = quantize_weight(w, scale, shift, spec, bits=bits)
+    x = jnp.asarray(rng(6).randn(m, k).astype(np.float32))
+    want = x @ dequantize_weight(packed)
+    got = wo_matmul(x, packed, impl=impl)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wo_matmul_batched_and_unaligned():
+    """Leading batch dims flatten; odd M/N/K exercise the padding path."""
+    spec = QuantSpec.make(8, signed=True, symmetric=True)
+    k, n = 50, 30
+    w = jnp.asarray(rng(7).randn(k, n).astype(np.float32))
+    packed = quantize_weight(w, jnp.asarray([0.03]), jnp.zeros((1,)), spec,
+                             bits=8)
+    x = jnp.asarray(rng(8).randn(3, 5, k).astype(np.float32))
+    want = x @ dequantize_weight(packed)
+    for impl in ("xla", "pallas"):
+        got = wo_matmul(x, packed, impl=impl)
+        assert got.shape == (3, 5, n)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wo_matmul_affine_zp_correction():
+    """Nonzero weight zero-point exercises the in-kernel zp-subtract."""
+    spec = QuantSpec.make(8, signed=False, symmetric=False)
+    k, n = 32, 16
+    w = jnp.asarray(0.5 + rng(9).rand(k, n).astype(np.float32))
+    packed = quantize_weight(w, jnp.asarray([0.01]),
+                             jnp.asarray([-0.2]), spec, bits=8)
+    assert int(packed.zero_point[0]) != 0
+    x = jnp.asarray(rng(10).randn(8, k).astype(np.float32))
+    want = x @ dequantize_weight(packed)
+    for impl in ("xla", "pallas"):
+        np.testing.assert_allclose(wo_matmul(x, packed, impl=impl), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_int8_matmul_close():
+    spec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                          axis=1)
+    k, n, m = 128, 64, 16
+    w = 0.1 * jnp.asarray(rng(11).randn(k, n).astype(np.float32))
+    scale = jnp.asarray(0.002 + 0.001 * rng(12).rand(n).astype(np.float32))
+    packed = quantize_weight(w, scale, jnp.zeros((n,)), spec, bits=8)
+    x = jnp.asarray(rng(13).randn(m, k).astype(np.float32))
+    want = x @ dequantize_weight(packed)
+    got = dynamic_int8_matmul(x, packed)
+    # activation quant noise: per-tensor int8 ⇒ ~1e-2 relative error budget
+    err = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-9))
+    assert err < 0.02
+
+
+def test_dynamic_int8_requires_int8_weights():
+    spec = QuantSpec.make(4, signed=True, symmetric=True)
+    w = jnp.asarray(rng(14).randn(8, 8).astype(np.float32))
+    packed = quantize_weight(w, jnp.asarray([0.1]), jnp.zeros((1,)), spec,
+                             bits=4)
+    with pytest.raises(ValueError):
+        dynamic_int8_matmul(jnp.ones((2, 8)), packed)
+
+
+# --------------------------------------------------------------------------
+# end-to-end conversion
+# --------------------------------------------------------------------------
+
+def _trained_mlp(weight_bits=8, per_channel=True, steps=6):
+    qc = default_qconfig(weight_bits, 8, per_channel_weights=per_channel,
+                         init_batches=2)
+    model = QuantMLP(features=(32, 10), qconfig=qc)
+    tx = optax.sgd(1e-2)
+    r = rng(20)
+    x0 = jnp.asarray(r.randn(8, 16).astype(np.float32))
+    state = create_train_state(model, tx, x0)
+    step = make_train_step(model, tx)
+    for i in range(steps):
+        batch = {"input": jnp.asarray(r.randn(8, 16).astype(np.float32)),
+                 "label": jnp.asarray(r.randint(0, 10, size=8))}
+        state, _ = step(state, batch)
+    return model, qc, state
+
+
+@pytest.mark.parametrize("weight_bits", [8, 4])
+def test_convert_e2e_matches_eval_fake_quant(weight_bits):
+    """Converted serve model (static act quant) == QAT model in eval mode.
+
+    This is the parity contract of torch.quantization.convert: serving
+    numerics == fake-quant numerics once observers are frozen (SURVEY.md §3.4).
+    """
+    model, qc, state = _trained_mlp(weight_bits=weight_bits)
+    x = jnp.asarray(rng(21).randn(4, 16).astype(np.float32))
+
+    # QAT eval reference: fake-quant everywhere, frozen state
+    want, _ = model.apply({**state.params, **state.model_state}, x,
+                          training=False,
+                          mutable=["quant_state", "qparams"])
+
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    assert "qparams" not in serve_vars and "quant_state" not in serve_vars
+    serve_model = dataclasses.replace(
+        model, qconfig=qc.for_serving(act_mode="static", impl="xla"))
+    got = serve_model.apply(serve_vars, x, training=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_convert_weight_only_close():
+    """Weight-only serving (float activations) stays close to the float-act
+    QAT eval output — only the act-quant noise differs."""
+    model, qc, state = _trained_mlp(weight_bits=8)
+    x = jnp.asarray(rng(22).randn(4, 16).astype(np.float32))
+    want, _ = model.apply({**state.params, **state.model_state}, x,
+                          training=False,
+                          mutable=["quant_state", "qparams"])
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    serve_model = dataclasses.replace(
+        model, qconfig=qc.for_serving(act_mode="none", impl="xla"))
+    got = serve_model.apply(serve_vars, x, training=False)
+    scale = float(jnp.max(jnp.abs(want)) + 1e-9)
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 0.1
+
+
+def test_convert_structure_matches_serve_init():
+    """convert() output structure == serve-mode model.init structure, so
+    checkpoints round-trip through either path."""
+    model, qc, state = _trained_mlp(weight_bits=8, steps=2)
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    serve_model = dataclasses.replace(model, qconfig=qc.for_serving("static"))
+    tmpl = serve_model.init(jax.random.key(0), jnp.zeros((1, 16)),
+                            training=False)
+    t1 = jax.tree.structure(serve_vars)
+    t2 = jax.tree.structure(jax.device_get(tmpl))
+    assert t1 == t2
+    for a, b in zip(jax.tree.leaves(serve_vars), jax.tree.leaves(tmpl)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_convert_cnn_runs():
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=1)
+    model = QuantCNN(num_classes=4, qconfig=qc, widths=(8, 8))
+    tx = optax.sgd(1e-2)
+    r = rng(23)
+    x0 = jnp.asarray(r.randn(2, 16, 16, 3).astype(np.float32))
+    state = create_train_state(model, tx, x0)
+    step = make_train_step(model, tx)
+    for _ in range(3):
+        batch = {"input": jnp.asarray(r.randn(2, 16, 16, 3).astype(np.float32)),
+                 "label": jnp.asarray(r.randint(0, 4, size=2))}
+        state, _ = step(state, batch)
+    want, _ = model.apply({**state.params, **state.model_state}, x0,
+                          training=False,
+                          mutable=["quant_state", "qparams", "batch_stats"])
+    # non-quant collections pass through untouched
+    probe = convert({**state.params, **state.model_state,
+                     "batch_stats": {"x": jnp.ones(3)}}, qc)
+    assert "batch_stats" in probe
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    serve_model = dataclasses.replace(model,
+                                      qconfig=qc.for_serving("static"))
+    got = serve_model.apply(serve_vars, x0, training=False)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# tensor-parallel serving
+# --------------------------------------------------------------------------
+
+def test_tp_sharded_wo_matmul():
+    """Column-parallel packed weight under jit == unsharded result; XLA
+    inserts the collectives (SURVEY.md §5 'Distributed communication')."""
+    mesh = make_mesh(data=2, model=4)
+    spec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                          axis=1)
+    k, n = 64, 32
+    w = jnp.asarray(rng(30).randn(k, n).astype(np.float32))
+    scale = jnp.asarray(0.05 + 0.01 * rng(31).rand(n).astype(np.float32))
+    packed = quantize_weight(w, scale, jnp.zeros((n,)), spec, bits=8)
+    x = jnp.asarray(rng(32).randn(16, k).astype(np.float32))
+    want = wo_matmul(x, packed, impl="xla")
+
+    with mesh:
+        sharded = jax.tree.map(
+            lambda l: l, packed,
+            is_leaf=lambda l: isinstance(l, PackedWeight))
+        sharded = shard_converted({"quantized": {"l": {"kernel": packed}}},
+                                  mesh)["quantized"]["l"]["kernel"]
+        got = jax.jit(lambda a, p: wo_matmul(a, p, impl="xla"))(x, sharded)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_shard_converted_full_model_tree():
+    model, qc, state = _trained_mlp(weight_bits=8, steps=2)
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_converted(serve_vars, mesh)
+    x = jnp.asarray(rng(33).randn(4, 16).astype(np.float32))
+    serve_model = dataclasses.replace(model, qconfig=qc.for_serving("static"))
+    want = serve_model.apply(serve_vars, x, training=False)
+    with mesh:
+        got = jax.jit(
+            lambda v, a: serve_model.apply(v, a, training=False))(sharded, x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,99 @@
+"""Tests for checkpoint/resume, profiling helpers, and quantizer reports."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from jaxlsq.models import QuantMLP, default_qconfig
+from jaxlsq.parallel import create_train_state, make_train_step
+from jaxlsq.utils import (StepTimer, annotate, format_report, latest_step,
+                          quantizer_report, restore_checkpoint,
+                          save_checkpoint)
+
+
+def _state_and_step(steps=3):
+    qc = default_qconfig(8, 8, init_batches=2)
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    tx = optax.sgd(1e-2)
+    r = np.random.RandomState(0)
+    x0 = jnp.asarray(r.randn(4, 8).astype(np.float32))
+    state = create_train_state(model, tx, x0)
+    step = make_train_step(model, tx)
+    for _ in range(steps):
+        batch = {"input": jnp.asarray(r.randn(4, 8).astype(np.float32)),
+                 "label": jnp.asarray(r.randint(0, 4, size=4))}
+        state, _ = step(state, batch)
+    return model, tx, state, step, r
+
+
+@pytest.mark.parametrize("use_orbax", [False, True])
+def test_checkpoint_roundtrip_exact(tmp_path, use_orbax):
+    """Full QATTrainState — params, qparams, counters, opt state — restores
+    bit-exactly (no lazy-init trap: restore into a fresh state, no forward)."""
+    if use_orbax:
+        pytest.importorskip("orbax.checkpoint")
+    model, tx, state, step, r = _state_and_step()
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, int(state.step), use_orbax=use_orbax)
+    assert latest_step(ckpt) == int(state.step)
+
+    fresh = create_train_state(model, tx, jnp.zeros((4, 8)))
+    restored = restore_checkpoint(ckpt, fresh, use_orbax=use_orbax)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: identical next step from saved vs live state
+    batch = {"input": jnp.asarray(r.randn(4, 8).astype(np.float32)),
+             "label": jnp.asarray(r.randint(0, 4, size=4))}
+    s1, m1 = step(state, batch)
+    s2, m2 = step(restored, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-7)
+    # counters (incl. quantizer init windows) advanced identically
+    np.testing.assert_array_equal(np.asarray(s1.step), np.asarray(s2.step))
+
+
+def test_latest_step_picks_max(tmp_path):
+    model, tx, state, _, _ = _state_and_step(steps=1)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, 3, use_orbax=False)
+    save_checkpoint(ckpt, state, 12, use_orbax=False)
+    assert latest_step(ckpt) == 12
+    assert latest_step(str(tmp_path / "nope")) is None
+
+
+def test_restore_structure_mismatch_raises(tmp_path):
+    _, _, state, _, _ = _state_and_step(steps=1)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, 0, use_orbax=False)
+    with pytest.raises(ValueError):
+        restore_checkpoint(ckpt, {"wrong": jnp.zeros(3)}, use_orbax=False)
+
+
+def test_quantizer_report_rows():
+    model, tx, state, _, _ = _state_and_step(steps=4)
+    rows = quantizer_report({**state.params, **state.model_state})
+    # QuantMLP(16, 4): 2 layers x (act_fq + weight_fq) = 4 quantizers
+    assert len(rows) == 4
+    paths = {r["path"] for r in rows}
+    assert any("act_fq" in p for p in paths)
+    assert any("weight_fq" in p for p in paths)
+    for row in rows:
+        assert row["scale_max"] >= row["scale_min"] > 0
+        assert "current_batch" in row
+    txt = format_report(rows)
+    assert "act_fq" in txt and "scale[" in txt
+
+
+def test_annotate_and_timer():
+    with annotate("unit-test-span"):
+        y = jnp.sum(jnp.ones((8, 8)))
+    jax.block_until_ready(y)
+    t = StepTimer(warmup=1)
+    assert t.tick() is None          # warmup
+    assert t.tick() is None          # clock start
+    assert t.tick() is not None and t.tick() > 0
