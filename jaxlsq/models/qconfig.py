@@ -84,6 +84,7 @@ def default_qconfig(
     per_channel_weights: bool = False,
     init_batches: int = 1000,
     init_mode: str = "observer",
+    act_observer: str = "minmax",
     reduce_range: bool = True,
     learn_params: bool = True,
     impl: str = "auto",
@@ -91,7 +92,10 @@ def default_qconfig(
     """The reference README's recommended setup (README.md:103-126): qint8-style
     symmetric weights + quint8-style affine activations, optionally range-
     narrowed by one bit (``avoid_torch_overflow``), observer- or learnable-init
-    activations over ``init_batches``."""
+    activations over ``init_batches``.
+
+    ``act_observer``: 'minmax' (reference-recommended MovingAverageMinMax,
+    README.md:109-110) or 'mse' (MSE-minimizing range search)."""
     wq = LSQQuantizer(
         spec=QuantSpec.weight_default(
             weight_bits, per_channel=per_channel_weights, axis=0,
@@ -100,11 +104,21 @@ def default_qconfig(
         learn_params=learn_params,
         impl=impl,
     )
+    aspec = QuantSpec.activation_default(act_bits, reduce_range=reduce_range)
+    obs = None
+    if act_observer == "mse":
+        from ..observers import MSEObserver
+
+        obs = MSEObserver(spec=aspec, per_channel=aspec.per_channel,
+                          axis=aspec.axis)
+    elif act_observer != "minmax":
+        raise ValueError(f"unknown act_observer {act_observer!r}")
     aq = LSQQuantizer(
-        spec=QuantSpec.activation_default(act_bits, reduce_range=reduce_range),
+        spec=aspec,
         otype="activation",
         init_mode=init_mode,
         n_batches=init_batches,
+        observer=obs,
         learn_params=learn_params,
         impl=impl,
     )

@@ -1,6 +1,7 @@
 from .minmax import (
     MinMaxObserver,
     MovingAverageMinMaxObserver,
+    MSEObserver,
     ObserverState,
     observer_qparams,
 )
@@ -9,6 +10,7 @@ from .quantizer import LSQQuantizer, QuantizerState, convert_shift_to_zp
 __all__ = [
     "MinMaxObserver",
     "MovingAverageMinMaxObserver",
+    "MSEObserver",
     "ObserverState",
     "observer_qparams",
     "LSQQuantizer",

@@ -36,7 +36,7 @@ from flax import struct
 from ..core.spec import QuantSpec
 
 __all__ = ["ObserverState", "MinMaxObserver", "MovingAverageMinMaxObserver",
-           "observer_qparams"]
+           "MSEObserver", "observer_qparams"]
 
 
 class ObserverState(struct.PyTreeNode):
@@ -102,6 +102,86 @@ def MovingAverageMinMaxObserver(averaging_constant: float = 0.01,
     """torch ``MovingAverage(PerChannel)MinMaxObserver`` equivalent."""
     return MinMaxObserver(per_channel=per_channel, axis=axis,
                           averaging_constant=averaging_constant)
+
+
+@dataclasses.dataclass(frozen=True)
+class MSEObserver:
+    """MSE-minimizing range observer (BASELINE.json north_star "MSE-min ...
+    activation init"; no counterpart exists in the reference, which only uses
+    torch's min/max observers — README.md:109-110).
+
+    Each update shrinks the batch's [min, max] range by a grid of factors
+    ``f ∈ (0, 1]``, fake-quantizes the batch at the qparams each shrunken
+    range implies, and keeps the range minimizing ``||x_fq − x||²`` — per
+    channel when ``per_channel``.  Ranges are then EMA-merged across batches
+    like MovingAverageMinMaxObserver.  Entirely traced control flow
+    (``lax.map`` over the candidate grid) so it runs inside jit.
+
+    ``spec`` must be the QuantSpec of the quantizer this observer feeds (the
+    search needs the quant range; the duck-typed ``update(state, x)``
+    interface has no spec argument).
+    """
+
+    spec: QuantSpec
+    per_channel: bool = False
+    axis: int = 1
+    num_candidates: int = 64
+    averaging_constant: Optional[float] = 0.01
+
+    def init(self, num_channels: int = 1) -> ObserverState:
+        c = num_channels if self.per_channel else 1
+        return ObserverState(
+            min_val=jnp.zeros((c,), jnp.float32),
+            max_val=jnp.zeros((c,), jnp.float32),
+            seen=jnp.zeros((), jnp.int32),
+        )
+
+    def _best_range(self, x: jnp.ndarray):
+        xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+        if self.per_channel:
+            red = tuple(a for a in range(x.ndim) if a != self.axis)
+            bmin, bmax = jnp.min(xf, axis=red), jnp.max(xf, axis=red)
+            bshape = [1] * x.ndim
+            bshape[self.axis] = bmin.shape[0]
+        else:
+            red = tuple(range(x.ndim))
+            bmin = jnp.min(xf).reshape(1)
+            bmax = jnp.max(xf).reshape(1)
+            bshape = [1] * x.ndim
+        qmin, qmax = float(self.spec.quant_min), float(self.spec.quant_max)
+
+        def mse(f):
+            mn, mx = bmin * f, bmax * f
+            scale, zp = observer_qparams(mn, mx, self.spec)
+            s = scale.reshape(bshape)
+            z = zp.reshape(bshape)
+            xq = jnp.round(jnp.clip(xf / s + z, qmin, qmax))
+            return jnp.sum(((xq - z) * s - xf) ** 2, axis=red)  # (C,) or ()
+
+        fs = jnp.linspace(1.0 / self.num_candidates, 1.0, self.num_candidates)
+        errs = jax.lax.map(mse, fs)              # (num, C) or (num,)
+        errs = errs.reshape(self.num_candidates, -1)
+        best_f = fs[jnp.argmin(errs, axis=0)]    # (C,)
+        return bmin * best_f, bmax * best_f
+
+    def update(self, state: ObserverState, x: jnp.ndarray) -> ObserverState:
+        nmin, nmax = self._best_range(x)
+        first = state.seen == 0
+        if self.averaging_constant is None:
+            new_min = jnp.where(first, nmin, jnp.minimum(state.min_val, nmin))
+            new_max = jnp.where(first, nmax, jnp.maximum(state.max_val, nmax))
+        else:
+            c = jnp.float32(self.averaging_constant)
+            new_min = jnp.where(first, nmin,
+                                state.min_val + c * (nmin - state.min_val))
+            new_max = jnp.where(first, nmax,
+                                state.max_val + c * (nmax - state.max_val))
+        return ObserverState(min_val=new_min, max_val=new_max,
+                             seen=state.seen + 1)
+
+    def calculate_qparams(self, state: ObserverState,
+                          spec: QuantSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return observer_qparams(state.min_val, state.max_val, spec)
 
 
 def observer_qparams(min_val: jnp.ndarray, max_val: jnp.ndarray,

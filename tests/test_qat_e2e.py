@@ -162,3 +162,37 @@ def test_eval_mode_stable():
     out2 = model.apply(variables, x, training=False,
                        mutable=["quant_state", "qparams"])[0]
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_w4a8_qat_then_int4_serving():
+    """BASELINE.json config 5: 4-bit weights + 8-bit activations QAT, then the
+    weight-only serving path with the learned qparams folded into the int4
+    matmul epilogue — serving output must match the QAT eval output exactly
+    modulo the frozen-act-quant seam (tested tight in f32 on CPU)."""
+    import dataclasses
+
+    from jaxlsq.serve import convert, serving_bits
+
+    x, y = make_data(n=128, d=16)
+    qc = default_qconfig(4, 8, per_channel_weights=True, init_batches=2,
+                         impl="reference")
+    assert serving_bits(qc.weight.spec) == 4  # packs to int4
+    model = QuantMLP(features=(32, 4), qconfig=qc)
+    params, state, opt_state, step = train_setup(model, x[:8])
+
+    losses = []
+    for i in range(25):
+        params, state, opt_state, loss = step(params, state, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"W4A8 QAT diverged: {losses[::6]}"
+
+    want, _ = model.apply({**params, **state}, x[:8], training=False,
+                          mutable=["quant_state", "qparams"])
+    sv = convert({**params, **state}, qc)
+    # int4 nibble packing halved the contraction axis
+    assert sv["quantized"]["dense_0"]["kernel"].bits == 4
+    assert sv["quantized"]["dense_0"]["kernel"].data.shape[0] == 16 // 2
+    sm = dataclasses.replace(model, qconfig=qc.for_serving("static", "xla"))
+    got = sm.apply(sv, x[:8], training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
