@@ -75,8 +75,13 @@ def main():
                     lambda a, ss, bb: fake_quant(a, ss, bb, spec, impl=impl),
                     y, s, b)
                 dx, ds, db = vjp(gg)
-                # consume ALL outputs: qparams evolve like a real train step
-                return (dx, out, s - 1e-6 * ds, b - 1e-6 * db)
+                # Consume ALL outputs: qparams evolve like a real train step.
+                # Carry-slot order matters: out must land in y's slot and dx
+                # in gg's slot.  Swapping them permutes buffer roles across
+                # the loop back-edge, which XLA can only realize with a full
+                # 256 MiB copy per iteration (+35% measured) — a harness
+                # artifact real training steps don't have.
+                return (out, dx, s - 1e-6 * ds, b - 1e-6 * db)
             y, gg, s, b = jax.lax.fori_loop(0, k, body, (x, g, s0, b0))
             return jnp.sum(y) + jnp.sum(gg) + s[0] + b[0]
         return f

@@ -34,16 +34,22 @@ Out-of-range elements are excluded from the partial sums with iota masks.
 
 Measured reality on TPU v5e (see bench.py), recorded for honesty:
 
-* disjoint-buffer read+write streams ~2x slower than in-place on this chip, so
-  the backward aliases dX onto the dead grad buffer (input_output_aliases);
+* a pallas_call WITHOUT input_output_aliases streams at ~half rate on this
+  chip (~313 vs ~599 GB/s measured for the forward) — a Pallas pipelining
+  artifact, NOT a hardware property (XLA's own disjoint-buffer elementwise
+  hits ~633 GB/s vs ~677 aliased).  Both kernels therefore declare the alias
+  (fwd: out↔x, bwd: dX↔grad); when the aliased input is still live (the fwd
+  input is the VJP residual) XLA inserts a protective copy, which measures
+  no worse than the unaliased kernel, and when it is dead (eval/serving,
+  bwd cotangent) the kernel runs at full rate;
 * reshapes that change the trailing dim are physical copies under TPU tiled
   layouts — the canonicalization below is zero-copy for aligned shapes;
 * even so, XLA's own fusion of the golden jnp backward (one pass: dX + both
-  reductions, with automatic buffer donation) measures ~25% faster than these
-  kernels and additionally fuses into neighboring ops inside real models, so
-  ``impl='auto'`` serves the XLA path and these kernels are the explicit
-  ``impl='pallas'`` option (and the blueprint for ops XLA cannot fuse, e.g.
-  the serving-path quantized matmuls).
+  reductions, with automatic buffer donation) measures as fast or faster than
+  these kernels and additionally fuses into neighboring ops inside real
+  models, so ``impl='auto'`` serves the XLA path and these kernels are the
+  explicit ``impl='pallas'`` option (and the blueprint for ops XLA cannot
+  fuse, e.g. the serving-path quantized matmuls).
 """
 
 from __future__ import annotations
@@ -117,7 +123,8 @@ def _to_rows_lanes(x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
     CRITICAL for performance: on TPU, arrays carry a tiled (8,128) physical
     layout over the last two dims, so a reshape that changes the trailing dim
     is a PHYSICAL COPY — it costs a full read+write AND breaks the
-    dX↔grad buffer aliasing (measured 2x slowdown on v5e).  Therefore:
+    dX↔grad buffer aliasing (which costs ~2x stream rate in Pallas, see the
+    module docstring).  Therefore:
 
     * aligned 2D input                 → used as-is (zero-copy);
     * ndim>2 with aligned trailing dims → leading dims collapsed, which
@@ -358,6 +365,9 @@ def _pt_forward(x, scale, shift, spec, interpret):
         ],
         out_specs=pl.BlockSpec((bm, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # out aliases x: 2x stream rate when x is dead (see module docstring);
+        # XLA copy-protects when x is live (VJP residual) at no net cost.
+        input_output_aliases={2: 0},
         interpret=interpret,
     )(_qp_smem(scale), _qp_smem(shift), x2d)
     return _from_rows_lanes(out, x.shape, n)
@@ -438,8 +448,8 @@ def _pt_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
                                           memory_space=pltpu.SMEM))
 
     # dX aliases the incoming cotangent: g is dead after the VJP consumes it,
-    # and in-place HBM read+write streams ~2x faster than a disjoint write on
-    # v5e (measured; XLA gets the same effect via buffer donation).
+    # and an unaliased pallas_call streams at ~half rate on v5e (see module
+    # docstring; XLA gets the same effect via buffer donation).
     alias = {2: 0} if emit_dx else {}
     outs = pl.pallas_call(
         functools.partial(_pt_bwd_kernel, spec=spec, init_mode=init_mode,
