@@ -52,6 +52,68 @@ def detect_roofline() -> float:
     return HBM_GBPS["v4"]
 
 
+def bench_serving(roofline: float):
+    """Weight-only INT8 serving matmul: weight-stream bandwidth + speedup vs
+    an f32-weight matmul (the 4x HBM win the packed path exists for).
+    Memory-bound regime: small M, large K x N."""
+    from jaxlsq import QuantSpec
+    from jaxlsq.serve import dequantize_weight, quantize_weight, wo_matmul
+
+    m, k, n = 128, 8192, 8192
+    r = np.random.RandomState(1)
+    spec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                          axis=1)
+    w = jnp.asarray(0.02 * r.randn(k, n).astype(np.float32))
+    scale = jnp.asarray(0.001 + 0.0005 * r.rand(n).astype(np.float32))
+    packed = quantize_weight(w, scale, jnp.zeros((n,)), spec, bits=8)
+    wf = dequantize_weight(packed)  # f32 baseline weights (identical values)
+    x = jnp.asarray(r.randn(m, k).astype(np.float32))
+
+    # Weights are ARGUMENTS, not closure constants: a closed-over 256 MB
+    # array would be embedded as an HLO literal (oversized remote-compile
+    # payloads; also unrealistic — served weights live in HBM).
+    def chain_int8(kk):
+        @jax.jit
+        def f(x, pw):
+            def body(i, acc):
+                y = wo_matmul(x + acc[0, 0] * 1e-9, pw, impl="pallas")
+                return y[:, :k]
+            return jnp.sum(jax.lax.fori_loop(0, kk, body, x)[:1, :8])
+        return f
+
+    def chain_f32(kk):
+        @jax.jit
+        def f(x, w):
+            def body(i, acc):
+                y = jnp.matmul(x + acc[0, 0] * 1e-9, w,
+                               preferred_element_type=jnp.float32)
+                return y[:, :k]
+            return jnp.sum(jax.lax.fori_loop(0, kk, body, x)[:1, :8])
+        return f
+
+    # Long chains: these matmuls are ~0.1 ms each, so short chains drown in
+    # the shared chip's scheduling noise (measured negative slopes at K=6).
+    K1, K2 = 8, 48
+    out = {}
+    for name, mk, warg in (("int8", chain_int8, packed),
+                           ("f32", chain_f32, wf)):
+        f1, f2 = mk(K1), mk(K2)
+        float(f1(x, warg)); float(f2(x, warg))
+        t1s, t2s = [], []
+        for _ in range(5):
+            t0 = time.perf_counter(); float(f1(x, warg)); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(f2(x, warg)); t2s.append(time.perf_counter() - t0)
+        out[name] = max((min(t2s) - min(t1s)) / (K2 - K1), 1e-9)
+    wbytes = {"int8": k * n, "f32": 4 * k * n}
+    return {
+        "serve_int8_ms": round(out["int8"] * 1e3, 3),
+        "serve_f32_ms": round(out["f32"] * 1e3, 3),
+        "serve_int8_weight_gbps": round(wbytes["int8"] / out["int8"] / 1e9, 1),
+        "serve_speedup_int8_vs_f32": round(out["f32"] / out["int8"], 2),
+        "serve_shape": f"M{m} K{k} N{n} per-channel int8, fused dequant",
+    }
+
+
 def main():
     from jaxlsq import QuantSpec, fake_quant
 
@@ -146,6 +208,13 @@ def main():
     t_ref_ideal = 52 * n / (roofline * 1e9)
     vs_baseline = t_ref_ideal / t_total
 
+    serve = {}
+    if on_tpu:
+        try:
+            serve = bench_serving(roofline)
+        except Exception as e:  # serving leg must never sink the headline
+            serve = {"serve_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "fused fake-quant fwd+bwd HBM roofline fraction",
         "value": round(frac, 4),
@@ -163,6 +232,7 @@ def main():
             "t_fwdbwd_ms": {k: round(v * 1e3, 3) for k, v in times.items()},
             "baseline": "reference 3-launch bwd design (52 B/elem) at 100% roofline",
             "timing": "interleaved chained-loop slope, min-of-rounds",
+            **serve,
         },
     }))
 

@@ -401,6 +401,7 @@ def _pc_forward(x, scale, shift, spec, interpret):
         ],
         out_specs=pl.BlockSpec((bm, ct), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
+        input_output_aliases={2: 0},  # out↔x, see module docstring
         interpret=interpret,
     )(s2, b2, x2dp)
     return _from_rows_channels(out[:rows, :c], x.shape, spec.axis)
@@ -671,6 +672,7 @@ def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
             ],
             out_specs=pl.BlockSpec((bm, ct), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
+            input_output_aliases={3: 0},  # out↔x, see module docstring
             interpret=interpret,
         )(s2, b2, flags, x2dp)
         return _from_rows_channels(out[:rows, :c], x.shape, spec.axis)
@@ -689,6 +691,7 @@ def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
         ],
         out_specs=pl.BlockSpec((bm, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        input_output_aliases={3: 0},  # out↔x, see module docstring
         interpret=interpret,
     )(_qp_smem(scale), _qp_smem(shift), flags, x2d)
     return _from_rows_lanes(out, x.shape, n)

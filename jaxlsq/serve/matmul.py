@@ -139,11 +139,32 @@ def _qparams_rows(p: PackedWeight, n_pad: int):
     return s.reshape(1, n_pad), z.reshape(1, n_pad)
 
 
+def _pick_bn(bm: int, bk: int, n: int, bits: int) -> int:
+    """Widest N tile fitting the VMEM budget.  Wide N tiles matter in the
+    serving regime (small M): activations are re-read once per N tile, so
+    grid_n = N/bn multiplies the x traffic — measured 1.75x end-to-end going
+    512→4096 at M=128, K=N=8192 on v5e.  Budget: double-buffered w/x/out
+    blocks + the f32 acc scratch under ~12 MiB of the ~16 MiB VMEM."""
+    wbytes_per_col = bk if bits == 8 else bk // 2
+    for bn in (4096, 2048, 1024, 512, 256, 128):
+        if bn > max(n, 128):
+            continue
+        vmem = (2 * bn * wbytes_per_col      # w tile (int8), double-buffered
+                + 2 * bm * bk * 4            # x tile(s)
+                + 2 * bm * bn * 4            # out tile
+                + bm * bn * 4)               # acc scratch
+        if vmem <= 12 * 1024 * 1024:
+            return bn
+    return 128
+
+
 def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
                       precision=None):
     kdim, n = p.orig_shape
     m = x2d.shape[0]
     bm = min(bm, max(8, _cdiv(m, 8) * 8))
+    if bn is None:
+        bn = _pick_bn(bm, bk, n, p.bits)
     xp = _pad_to(x2d.astype(jnp.float32), bm, bk)
     mp = xp.shape[0]
     grid_m, grid_n = _cdiv(mp, bm), _cdiv(_cdiv(n, bn) * bn, bn)
@@ -210,7 +231,8 @@ def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
 def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
               impl: str = "auto",
               out_dtype=None,
-              block_m: int = 256, block_n: int = 512, block_k: int = 512,
+              block_m: int = 256, block_n: Optional[int] = None,
+              block_k: int = 512,
               precision=None,
               interpret: Optional[bool] = None) -> jnp.ndarray:
     """``x @ dequant(packed)`` with the dequant fused into the matmul.
