@@ -1,3 +1,4 @@
+from .calibrate import calibrate, enable_param_learning_all, set_static_estimate
 from .layers import FakeQuantize, QuantConv, QuantDense
 from .qconfig import QConfig, default_qconfig
 from .toggles import (
@@ -16,6 +17,7 @@ from .zoo import BasicBlock, QuantCNN, QuantMLP, QuantResNet, resnet18_cifar
 __all__ = [
     "FakeQuantize", "QuantConv", "QuantDense",
     "QConfig", "default_qconfig",
+    "calibrate", "set_static_estimate", "enable_param_learning_all",
     "enable_fake_quant", "disable_fake_quant",
     "enable_observer", "disable_observer",
     "enable_fake_quant_on_act", "disable_fake_quant_on_act",

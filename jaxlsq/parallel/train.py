@@ -49,7 +49,10 @@ def cross_entropy_loss(logits, batch):
 def create_train_state(model, tx: optax.GradientTransformation, sample_x,
                        rngs=None) -> QATTrainState:
     variables = model.init(rngs or jax.random.key(0), sample_x, training=False)
-    params = {"params": variables["params"], "qparams": variables["qparams"]}
+    # 'qparams' is absent for unquantized models (QConfig() baseline) — keep
+    # the state shape uniform so the same train step serves both.
+    params = {"params": variables["params"],
+              "qparams": variables.get("qparams", {})}
     model_state = {k: v for k, v in variables.items()
                    if k not in ("params", "qparams")}
     return QATTrainState(
