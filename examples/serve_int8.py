@@ -1,0 +1,62 @@
+"""Serving example: convert a QAT transformer LM to INT8, shard it
+tensor-parallel over the mesh 'model' axis, and serve greedy decodes through
+the continuous-batching engine.
+
+  python examples/serve_int8.py --requests 32
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jaxlsq.models import QuantTransformerLM, default_qconfig
+from jaxlsq.parallel import make_mesh
+from jaxlsq.serve import ServingEngine, convert, shard_converted
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--seq", type=int, default=32)
+    args = ap.parse_args()
+
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=0)
+    model = QuantTransformerLM(vocab=256, dim=128, depth=2, num_heads=4,
+                               qconfig=qc, max_len=args.seq)
+    tok0 = jnp.zeros((1, args.seq), jnp.int32)
+    variables = model.init(jax.random.key(0), tok0, training=False)
+
+    serve_vars = convert(variables, qc)
+    serve_model = dataclasses.replace(model, qconfig=qc.for_serving("static"))
+
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        mesh = make_mesh(data=1, model=n_dev)
+        serve_vars = shard_converted(serve_vars, mesh)
+        print(f"TP-sharded over {n_dev} devices")
+
+    def apply_fn(tokens):
+        return serve_model.apply(serve_vars, tokens, training=False)
+
+    r = np.random.RandomState(0)
+    with ServingEngine(apply_fn, example_shape=(args.seq,), max_batch=16,
+                       dtype=jnp.int32) as eng:
+        eng.warmup()
+        futs = eng.submit_many(
+            [r.randint(0, 256, size=args.seq).astype(np.int32)
+             for _ in range(args.requests)])
+        outs = [f.result(timeout=300) for f in futs]
+    print(f"served {len(outs)} requests in {eng.stats['batches']} batches "
+          f"(padding waste {eng.stats['padded_examples']} examples)")
+    print("logits[0, -1, :4] =", outs[0][-1, :4])
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,9 @@ from .toggles import (
     enable_observer_on_weights,
     map_quant_state,
 )
-from .zoo import BasicBlock, QuantCNN, QuantMLP, QuantResNet, resnet18_cifar
+from .zoo import (BasicBlock, QuantCNN, QuantMLP, QuantMobileNetV2,
+                  QuantResNet, QuantTransformerBlock, QuantTransformerLM,
+                  mobilenetv2_cifar, resnet18_cifar)
 
 __all__ = [
     "FakeQuantize", "QuantConv", "QuantDense",
@@ -24,4 +26,6 @@ __all__ = [
     "enable_observer_on_weights", "disable_observer_on_weights",
     "map_quant_state",
     "QuantMLP", "QuantCNN", "QuantResNet", "BasicBlock", "resnet18_cifar",
+    "QuantMobileNetV2", "mobilenetv2_cifar",
+    "QuantTransformerBlock", "QuantTransformerLM",
 ]

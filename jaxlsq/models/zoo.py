@@ -16,7 +16,9 @@ from flax import linen as nn
 from .layers import QuantConv, QuantDense
 from .qconfig import QConfig
 
-__all__ = ["QuantMLP", "QuantCNN", "QuantResNet", "resnet18_cifar"]
+__all__ = ["QuantMLP", "QuantCNN", "QuantResNet", "resnet18_cifar",
+           "QuantMobileNetV2", "mobilenetv2_cifar",
+           "QuantTransformerBlock", "QuantTransformerLM"]
 
 
 class QuantMLP(nn.Module):
@@ -108,3 +110,135 @@ class QuantResNet(nn.Module):
 
 def resnet18_cifar(num_classes: int, qconfig: QConfig) -> QuantResNet:
     return QuantResNet(num_classes=num_classes, qconfig=qconfig)
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted-residual block: 1x1 expand → 3x3 depthwise →
+    1x1 project, all LSQ-quantized.  Depthwise = QuantConv with
+    feature_group_count == channels (per-channel weight axis still 3/HWIO)."""
+
+    features: int
+    qconfig: QConfig
+    strides: int = 1
+    expand: int = 6
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        cin = x.shape[-1]
+        hidden = cin * self.expand
+        y = x
+        if self.expand != 1:
+            y = QuantConv(hidden, (1, 1), self.qconfig, use_bias=False,
+                          name="expand")(y, training=training)
+            y = nn.BatchNorm(use_running_average=not training,
+                             name="bn_expand")(y)
+            y = nn.relu6(y)
+        y = QuantConv(hidden, (3, 3), self.qconfig, strides=self.strides,
+                      use_bias=False, feature_group_count=hidden,
+                      name="depthwise")(y, training=training)
+        y = nn.BatchNorm(use_running_average=not training, name="bn_dw")(y)
+        y = nn.relu6(y)
+        y = QuantConv(self.features, (1, 1), self.qconfig, use_bias=False,
+                      name="project")(y, training=training)
+        y = nn.BatchNorm(use_running_average=not training, name="bn_proj")(y)
+        if self.strides == 1 and cin == self.features:
+            y = y + x
+        return y
+
+
+class QuantMobileNetV2(nn.Module):
+    """MobileNetV2-class network (CIFAR stem) with LSQ quantizers throughout
+    (BASELINE.md accuracy configs name "ResNet/MobileNet-class")."""
+
+    num_classes: int
+    qconfig: QConfig
+    # (expand, features, repeats, stride) per stage — a slim CIFAR variant
+    stages: Sequence[Tuple[int, int, int, int]] = (
+        (1, 16, 1, 1), (6, 24, 2, 1), (6, 32, 2, 2), (6, 64, 2, 2))
+    stem_width: int = 32
+    head_width: int = 256
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        x = QuantConv(self.stem_width, (3, 3), self.qconfig, use_bias=False,
+                      name="stem")(x, training=training)
+        x = nn.BatchNorm(use_running_average=not training, name="bn_stem")(x)
+        x = nn.relu6(x)
+        for si, (e, f, r, s) in enumerate(self.stages):
+            for bi in range(r):
+                x = InvertedResidual(
+                    f, self.qconfig, strides=s if bi == 0 else 1, expand=e,
+                    name=f"stage{si}_block{bi}")(x, training=training)
+        x = QuantConv(self.head_width, (1, 1), self.qconfig, use_bias=False,
+                      name="head_conv")(x, training=training)
+        x = nn.BatchNorm(use_running_average=not training, name="bn_head")(x)
+        x = nn.relu6(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return QuantDense(self.num_classes, self.qconfig,
+                          name="classifier")(x, training=training)
+
+
+def mobilenetv2_cifar(num_classes: int, qconfig: QConfig) -> QuantMobileNetV2:
+    return QuantMobileNetV2(num_classes=num_classes, qconfig=qconfig)
+
+
+class QuantTransformerBlock(nn.Module):
+    """Pre-LN transformer block with every matmul LSQ-quantized (QKV/out
+    projections + MLP).  The block whose dense layers the INT8/INT4 serving
+    path accelerates — "tokens/s" in BASELINE.json means these matmuls."""
+
+    dim: int
+    num_heads: int
+    qconfig: QConfig
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+
+        y = nn.LayerNorm(name="ln1")(x)
+        qkv = QuantDense(3 * d, self.qconfig, name="qkv")(y, training=training)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, hd), 3, axis=2)
+        q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        att = jnp.where(mask, att, -1e9)
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
+
+        y = nn.LayerNorm(name="ln2")(x)
+        y = QuantDense(self.mlp_ratio * d, self.qconfig,
+                       name="mlp_up")(y, training=training)
+        y = nn.gelu(y)
+        y = QuantDense(d, self.qconfig, name="mlp_down")(y, training=training)
+        return x + y
+
+
+class QuantTransformerLM(nn.Module):
+    """Tiny causal LM: embedding → N quantized blocks → tied-free LM head.
+    Demonstrates QAT + serving on an autoregressive (tokens/s) workload."""
+
+    vocab: int
+    dim: int
+    depth: int
+    num_heads: int
+    qconfig: QConfig
+    max_len: int = 256
+
+    @nn.compact
+    def __call__(self, tokens, *, training: bool = False):
+        b, t = tokens.shape
+        tok = nn.Embed(self.vocab, self.dim, name="tok_emb")(tokens)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (self.max_len, self.dim))
+        x = tok + pos[None, :t]
+        for i in range(self.depth):
+            x = QuantTransformerBlock(self.dim, self.num_heads, self.qconfig,
+                                      name=f"block{i}")(x, training=training)
+        x = nn.LayerNorm(name="ln_f")(x)
+        return QuantDense(self.vocab, self.qconfig, use_bias=False,
+                          name="lm_head")(x, training=training)

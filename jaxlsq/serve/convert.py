@@ -98,7 +98,9 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
         for k, v in p_tree.items():
             sub_q = q_tree.get(k, {}) if isinstance(q_tree, dict) else {}
             np_, nq_ = walk(v, sub_q)
-            if np_ not in ({},):
+            # drop only empty dicts; array leaves (LayerNorm/Embed params,
+            # biases) pass through untouched
+            if not (isinstance(np_, dict) and not np_):
                 new_p[k] = np_
             if nq_:
                 new_q[k] = nq_

@@ -1,11 +1,12 @@
 """jaxlsq.utils — checkpointing, profiling, and observability helpers."""
 
-from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .checkpoint import (latest_step, restore_checkpoint, restore_or_init,
+                         save_checkpoint)
 from .profiling import StepTimer, annotate, trace
 from .report import format_report, quantizer_report
 
 __all__ = [
-    "latest_step", "restore_checkpoint", "save_checkpoint",
+    "latest_step", "restore_checkpoint", "restore_or_init", "save_checkpoint",
     "StepTimer", "annotate", "trace",
     "format_report", "quantizer_report",
 ]

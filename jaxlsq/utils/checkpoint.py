@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "restore_or_init"]
 
 try:  # orbax is in the base image; gate anyway (SURVEY.md environment note)
     import orbax.checkpoint as ocp
@@ -105,3 +106,21 @@ def restore_checkpoint(ckpt_dir: str, target: Any, *,
             "checkpoint tree structure does not match target:\n"
             f"  saved:  {meta['treedef']}\n  target: {treedef}")
     return jax.tree.unflatten(treedef, leaves)
+
+
+def restore_or_init(ckpt_dir: str, init_fn, *,
+                    use_orbax: Optional[bool] = None):
+    """Elastic-restart entry point: restore the latest checkpoint if one
+    exists, else build fresh state with ``init_fn()`` (SURVEY.md §5 "Failure
+    detection / elastic recovery" — checkpoint-restart is the mechanism).
+
+    Returns (state, restored_step) with restored_step = -1 on a fresh start.
+    ``init_fn`` runs in both cases: its result is the restore target (shape
+    donor), which is what makes restore-before-any-forward possible.
+    """
+    target = init_fn()
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return target, -1
+    return restore_checkpoint(ckpt_dir, target, step=step,
+                              use_orbax=use_orbax), step

@@ -97,3 +97,33 @@ def test_annotate_and_timer():
     assert t.tick() is None          # warmup
     assert t.tick() is None          # clock start
     assert t.tick() is not None and t.tick() > 0
+
+
+def test_restore_or_init(tmp_path):
+    from jaxlsq.utils import restore_or_init
+
+    model, tx, state, step, r = _state_and_step(steps=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def init_fn():
+        return create_train_state(model, tx, jnp.zeros((4, 8)))
+
+    fresh, restored = restore_or_init(ckpt, init_fn, use_orbax=False)
+    assert restored == -1 and int(fresh.step) == 0
+
+    save_checkpoint(ckpt, state, int(state.step), use_orbax=False)
+    resumed, restored = restore_or_init(ckpt, init_fn, use_orbax=False)
+    assert restored == int(state.step)
+    np.testing.assert_array_equal(np.asarray(resumed.step),
+                                  np.asarray(state.step))
+
+
+def test_bf16_qat_training_step():
+    """bf16 activations through the full QAT step (kernels accumulate f32)."""
+    model, tx, state, step, r = _state_and_step(steps=0)
+    batch = {"input": jnp.asarray(r.randn(4, 8), dtype=jnp.bfloat16),
+             "label": jnp.asarray(r.randint(0, 4, size=4))}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree.leaves(state.params["qparams"]):
+        assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
