@@ -25,9 +25,21 @@ NOT a reliable sync on remote-execution backends.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: repeat bench runs (driver reruns, round
+# boundaries) skip the slow remote compiles.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAXLSQ_COMPILE_CACHE",
+                                     "/tmp/jaxlsq_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
