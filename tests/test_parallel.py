@@ -132,3 +132,52 @@ def test_eval_step_sharded():
     logits = ev(state, shard_batch(batch, mesh))
     assert logits.shape == (64, 4)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+@pytest.mark.parametrize("impl", ["reference", "pallas"])
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_fake_quant_under_shard_map(impl, per_channel):
+    """Explicit-SPMD path (SURVEY.md §5): fake_quant's VJP inside shard_map
+    over 'data', with dS/dB all-reduced by lax.psum and grad scaling on the
+    GLOBAL numel, equals the unsharded global-batch result."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh(data=8, model=1)
+    spec = QuantSpec.make(8, signed=False, per_channel=per_channel, axis=1)
+    r = np.random.RandomState(0)
+    bs, d = 32, 24
+    x = jnp.asarray(r.randn(bs, d).astype(np.float32))
+    g = jnp.asarray(r.randn(bs, d).astype(np.float32))
+    c = d if per_channel else 1
+    s = jnp.asarray(0.05 + 0.02 * r.rand(c).astype(np.float32))
+    b = jnp.asarray(0.01 * r.randn(c).astype(np.float32))
+    n_global = x.size
+
+    def fq(a, ss, bb):
+        return fake_quant(a, ss, bb, spec, numel=n_global, impl=impl)
+
+    # unsharded global reference
+    want_out, vjp = jax.vjp(fq, x, s, b)
+    want_dx, want_ds, want_db = vjp(g)
+
+    def local(xl, gl, ss, bb):
+        out, lvjp = jax.vjp(fq, xl, ss, bb)
+        dx, ds, db = lvjp(gl)
+        return (out, dx,
+                jax.lax.psum(ds, "data"), jax.lax.psum(db, "data"))
+
+    sm = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P()),
+        out_specs=(P("data"), P("data"), P(), P()),
+        check_rep=False)
+    out, dx, ds, db = jax.jit(sm)(x, g, s, b)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(want_ds),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
+                               rtol=1e-5, atol=1e-7)

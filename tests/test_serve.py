@@ -287,3 +287,22 @@ def test_shard_converted_full_model_tree():
         got = jax.jit(
             lambda v, a: serve_model.apply(v, a, training=False))(sharded, x)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wo_matmul_bf16_activations():
+    """bf16 activations (the serving dtype) through both impls; f32 accum."""
+    spec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                          axis=1)
+    k, n = 64, 32
+    w = jnp.asarray(rng(40).randn(k, n).astype(np.float32))
+    scale = jnp.asarray(0.03 + 0.01 * rng(41).rand(n).astype(np.float32))
+    packed = quantize_weight(w, scale, jnp.zeros((n,)), spec, bits=8)
+    x = jnp.asarray(rng(42).randn(8, k), dtype=jnp.bfloat16)
+    want = (x.astype(jnp.float32) @ dequantize_weight(packed)).astype(
+        jnp.bfloat16)
+    for impl in ("xla", "pallas"):
+        got = wo_matmul(x, packed, impl=impl)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2)
