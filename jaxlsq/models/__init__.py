@@ -1,5 +1,5 @@
 from .calibrate import calibrate, enable_param_learning_all, set_static_estimate
-from .layers import FakeQuantize, QuantConv, QuantDense
+from .layers import FakeQuantize, QuantConv, QuantDense, QuantEmbed
 from .qconfig import QConfig, default_qconfig
 from .toggles import (
     disable_fake_quant,
@@ -17,7 +17,7 @@ from .zoo import (BasicBlock, QuantCNN, QuantMLP, QuantMobileNetV2,
                   mobilenetv2_cifar, resnet18_cifar)
 
 __all__ = [
-    "FakeQuantize", "QuantConv", "QuantDense",
+    "FakeQuantize", "QuantConv", "QuantDense", "QuantEmbed",
     "QConfig", "default_qconfig",
     "calibrate", "set_static_estimate", "enable_param_learning_all",
     "enable_fake_quant", "disable_fake_quant",

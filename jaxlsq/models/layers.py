@@ -40,16 +40,16 @@ from flax import linen as nn
 from ..observers.quantizer import LSQQuantizer, QuantizerState
 from .qconfig import QConfig
 
-__all__ = ["FakeQuantize", "QuantDense", "QuantConv"]
+__all__ = ["FakeQuantize", "QuantDense", "QuantConv", "QuantEmbed"]
 
 
-def _dummy_packed(kernel_shape, wspec, axis):
+def _dummy_packed(kernel_shape, wspec, axis, bits=None):
     """Zero-filled PackedWeight template so a serve-mode model can ``init()``
     standalone; real values come from ``jaxlsq.serve.convert``."""
     from ..serve.convert import serving_bits
     from ..serve.pack import PackedWeight
 
-    bits = serving_bits(wspec)
+    bits = serving_bits(wspec) if bits is None else bits
     k_axis = 0 if len(kernel_shape) == 2 else len(kernel_shape) - 2
     dshape = list(kernel_shape)
     if bits == 4:
@@ -227,3 +227,46 @@ class QuantConv(nn.Module):
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias
         return y.astype(self.dtype or x.dtype)
+
+
+class QuantEmbed(nn.Module):
+    """Embedding with an LSQ weight-quantized table.
+
+    Per-row qparams (per-channel axis 0 over the vocab axis — the standard
+    embedding layout: one scale per token row, like torch's quantized
+    EmbeddingBag).  QAT fake-quants the whole table; serving keeps the table
+    as int8 in HBM (4x smaller — embedding tables dominate LM weight bytes)
+    and dequantizes only the gathered rows.
+    """
+
+    num_embeddings: int
+    features: int
+    qconfig: QConfig
+    dtype: Any = jnp.float32
+    embedding_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, tokens, *, training: bool = False):
+        kshape = (self.num_embeddings, self.features)
+        if self.qconfig.mode == "serve":
+            wcfg = self.qconfig.weight_for_axis(0)
+            wspec = (wcfg.spec if wcfg is not None
+                     else self.qconfig.weight.spec)
+            # int8 always: int4 nibble packing would break row gathers
+            packed = self.variable(
+                "quantized", "embedding",
+                lambda: _dummy_packed(kshape, wspec, 0, bits=8)).value
+            rows = jnp.take(packed.data, tokens, axis=0).astype(jnp.float32)
+            c = packed.scale.shape[0]
+            if c > 1:  # per-row qparams travel with the gather
+                s = jnp.take(packed.scale, tokens, axis=0)[..., None]
+                z = jnp.take(packed.zero_point, tokens, axis=0)[..., None]
+            else:
+                s, z = packed.scale, packed.zero_point
+            return ((rows - z.astype(jnp.float32)) * s).astype(self.dtype)
+        table = self.param("embedding", self.embedding_init, kshape)
+        wcfg = self.qconfig.weight_for_axis(0)
+        if wcfg is not None:
+            table = FakeQuantize(wcfg, name="weight_fq")(
+                table, training=training)
+        return jnp.take(table, tokens, axis=0).astype(self.dtype)

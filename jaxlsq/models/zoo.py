@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import QuantConv, QuantDense
+from .layers import QuantConv, QuantDense, QuantEmbed
 from .qconfig import QConfig
 
 __all__ = ["QuantMLP", "QuantCNN", "QuantResNet", "resnet18_cifar",
@@ -232,7 +232,8 @@ class QuantTransformerLM(nn.Module):
     @nn.compact
     def __call__(self, tokens, *, training: bool = False):
         b, t = tokens.shape
-        tok = nn.Embed(self.vocab, self.dim, name="tok_emb")(tokens)
+        tok = QuantEmbed(self.vocab, self.dim, self.qconfig,
+                         name="tok_emb")(tokens, training=training)
         pos = self.param("pos_emb", nn.initializers.normal(0.02),
                          (self.max_len, self.dim))
         x = tok + pos[None, :t]

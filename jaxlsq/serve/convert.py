@@ -75,24 +75,28 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
     def walk(p_tree, q_tree):
         if not isinstance(p_tree, dict):
             return p_tree, None
+        # 'kernel' = dense/conv weights (per-channel axis = last);
+        # 'embedding' = QuantEmbed table (per-row axis 0; int8 only — int4
+        # nibble packing would break the row-addressable gather).
+        wname = next((k for k in ("kernel", "embedding") if k in p_tree), None)
         has_wq = (isinstance(q_tree, dict) and "weight_fq" in q_tree
-                  and "kernel" in p_tree)
+                  and wname is not None)
         if has_wq:
-            kernel = p_tree["kernel"]
-            axis = _weight_axis_for(kernel)
+            kernel = p_tree[wname]
+            axis = 0 if wname == "embedding" else _weight_axis_for(kernel)
             wspec = qconfig.weight.spec.replace(axis=axis) \
                 if qconfig.weight.spec.per_channel else qconfig.weight.spec
             wqp = q_tree["weight_fq"]["qp"]
+            bits = 8 if wname == "embedding" else serving_bits(wspec)
             packed = quantize_weight(
-                kernel, wqp["scale"], wqp["shift"], wspec,
-                bits=serving_bits(wspec))
-            quantized: Dict[str, Any] = {"kernel": packed}
+                kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
+            quantized: Dict[str, Any] = {wname: packed}
             if "act_fq" in q_tree and qconfig.activation is not None:
                 ascale, azp = _act_qparams(q_tree["act_fq"]["qp"],
                                            qconfig.activation.spec)
                 quantized["act_scale"] = ascale
                 quantized["act_zp"] = azp
-            new_p = {k: v for k, v in p_tree.items() if k != "kernel"}
+            new_p = {k: v for k, v in p_tree.items() if k != wname}
             return new_p, quantized
         new_p, new_q = {}, {}
         for k, v in p_tree.items():

@@ -57,12 +57,12 @@ def test_transformer_lm_qat_and_serving():
                            .softmax_cross_entropy_with_integer_labels(
                                logits[:, :-1], batch["label"][:, 1:]).mean())
     losses = []
+    fixed = jnp.asarray(r.randint(0, 64, size=(2, 16)))
     for _ in range(8):
-        toks = jnp.asarray(r.randint(0, 64, size=(2, 16)))
-        state, metrics = step(state, {"input": toks, "label": toks})
+        state, metrics = step(state, {"input": fixed, "label": fixed})
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses[-1])
-    assert losses[-1] < losses[0]  # memorizes a bit even in 8 steps
+    assert losses[-1] < losses[0]  # memorizes the repeated batch
 
     want, _ = model.apply({**state.params, **state.model_state}, tok0,
                           training=False, mutable=["quant_state", "qparams"])
