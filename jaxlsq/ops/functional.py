@@ -19,8 +19,10 @@ Two compute paths sit behind the same interface:
 * ``impl='auto'``     — the XLA-fused golden path (measured faster than the
   Pallas kernels on v5e — see ``_default_impl``); 'pallas' is opt-in.
 
-Like the reference (lsq_autograd.cpp:106,208), double backward through the fake
-quantizer is not supported: the VJP of the backward is not defined.
+Double backward: the reference hard-errors (lsq_autograd.cpp:106,208).  Here
+the 'reference' (golden jnp) path's backward is itself differentiable jnp, so
+second-order reverse-mode works as the gradient of the LSQ backward formula;
+the 'pallas' path has no VJP-of-backward and raises like the reference.
 """
 
 from __future__ import annotations

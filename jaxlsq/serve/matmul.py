@@ -250,9 +250,19 @@ def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
         raise ValueError("wo_matmul needs a 2-D (K, N) packed weight; "
                          "convs go through dequant + lax.conv")
     out_dtype = out_dtype or x.dtype
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     x2d, lead = _flatten_batch(x)
+    if impl == "auto":
+        # Regime dispatch (measured on v5e): the fused kernel wins when the
+        # whole M fits one tile — every extra M tile re-streams AND
+        # re-dequantizes the full weight, and VMEM (~16 MiB) cannot hold both
+        # a tall M tile and a wide N tile.  Decode-shaped calls (M <= block_m)
+        # → pallas; prefill/training-shaped calls → XLA, whose dequant-once
+        # f32 weights amortize across all M rows.
+        if (jax.default_backend() == "tpu"
+                and x2d.shape[0] <= max(block_m, 256)):
+            impl = "pallas"
+        else:
+            impl = "xla"
     if impl == "xla":
         w = dequantize_weight(packed, jnp.float32)
         out = jnp.matmul(x2d.astype(jnp.float32), w,

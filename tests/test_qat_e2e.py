@@ -196,3 +196,48 @@ def test_w4a8_qat_then_int4_serving():
     got = sm.apply(sv, x[:8], training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_w4a4_qat_trains():
+    """W4A4 (the LSQ/LSQ+ papers' headline config): QAT trains stably at
+    4-bit weights AND activations."""
+    x, y = make_data(n=128, d=16)
+    qc = QConfig(
+        weight=default_qconfig(4, 4, per_channel_weights=True).weight,
+        activation=default_qconfig(4, 4, init_batches=2).activation,
+    )
+    assert qc.activation.spec.quant_max <= 15  # truly 4-bit acts
+    model = QuantMLP(features=(32, 4), qconfig=qc)
+    params, state, opt_state, step = train_setup(model, x[:8])
+    losses = []
+    for i in range(25):
+        params, state, opt_state, loss = step(params, state, opt_state, x, y)
+        losses.append(float(loss))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], f"W4A4 QAT diverged: {losses[::6]}"
+
+
+def test_double_backward():
+    """The reference hard-errors on double backward
+    (lsq_autograd.cpp:106,208).  Here the golden path's backward is plain
+    differentiable jnp, so second-order reverse-mode works (SURVEY.md §2a:
+    "or free via jnp fallback") — a capability beyond the reference.  The
+    Pallas path has no VJP-of-backward and raises, matching the reference."""
+    from jaxlsq import QuantSpec, fake_quant
+
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    x = jnp.ones((4, 4)) * 0.37
+    s, b = jnp.array([0.1]), jnp.array([0.0])
+
+    def first(s_, impl):
+        return jnp.sum(fake_quant(x, s_, b, spec, impl=impl))
+
+    g = jax.grad(lambda s_: first(s_, "reference"))(s)
+    assert np.isfinite(float(g[0]))
+    g2 = jax.grad(lambda s_: jax.grad(
+        lambda t: first(t, "reference"))(s_)[0])(s)
+    assert np.isfinite(float(g2[0]))  # jnp-fallback second order
+
+    with pytest.raises(Exception):
+        jax.grad(lambda s_: jax.grad(
+            lambda t: first(t, "pallas"))(s_)[0])(s)
