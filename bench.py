@@ -78,6 +78,9 @@ def bench_serving(roofline: float):
     w = jnp.asarray(0.02 * r.randn(k, n).astype(np.float32))
     scale = jnp.asarray(0.001 + 0.0005 * r.rand(n).astype(np.float32))
     packed = quantize_weight(w, scale, jnp.zeros((n,)), spec, bits=8)
+    spec4 = QuantSpec.make(4, signed=True, symmetric=True, per_channel=True,
+                           axis=1)
+    packed4 = quantize_weight(w, scale, jnp.zeros((n,)), spec4, bits=4)
     wf = dequantize_weight(packed)  # f32 baseline weights (identical values)
     x = jnp.asarray(r.randn(m, k).astype(np.float32))
 
@@ -108,6 +111,7 @@ def bench_serving(roofline: float):
     K1, K2 = 8, 48
     out = {}
     for name, mk, warg in (("int8", chain_int8, packed),
+                           ("int4", chain_int8, packed4),
                            ("f32", chain_f32, wf)):
         f1, f2 = mk(K1), mk(K2)
         float(f1(x, warg)); float(f2(x, warg))
@@ -116,13 +120,16 @@ def bench_serving(roofline: float):
             t0 = time.perf_counter(); float(f1(x, warg)); t1s.append(time.perf_counter() - t0)
             t0 = time.perf_counter(); float(f2(x, warg)); t2s.append(time.perf_counter() - t0)
         out[name] = max((min(t2s) - min(t1s)) / (K2 - K1), 1e-9)
-    wbytes = {"int8": k * n, "f32": 4 * k * n}
+    wbytes = {"int8": k * n, "int4": k * n // 2, "f32": 4 * k * n}
     return {
         "serve_int8_ms": round(out["int8"] * 1e3, 3),
+        "serve_int4_ms": round(out["int4"] * 1e3, 3),
         "serve_f32_ms": round(out["f32"] * 1e3, 3),
         "serve_int8_weight_gbps": round(wbytes["int8"] / out["int8"] / 1e9, 1),
+        "serve_int4_weight_gbps": round(wbytes["int4"] / out["int4"] / 1e9, 1),
         "serve_speedup_int8_vs_f32": round(out["f32"] / out["int8"], 2),
-        "serve_shape": f"M{m} K{k} N{n} per-channel int8, fused dequant",
+        "serve_speedup_int4_vs_f32": round(out["f32"] / out["int4"], 2),
+        "serve_shape": f"M{m} K{k} N{n} per-channel, fused dequant",
     }
 
 

@@ -53,7 +53,7 @@ def _dummy_packed(kernel_shape, wspec, axis, bits=None):
     k_axis = 0 if len(kernel_shape) == 2 else len(kernel_shape) - 2
     dshape = list(kernel_shape)
     if bits == 4:
-        dshape[k_axis] //= 2
+        dshape[k_axis] = (dshape[k_axis] + 1) // 2  # odd K zero-pads one row
     c = kernel_shape[axis] if wspec.per_channel else 1
     return PackedWeight(
         data=jnp.zeros(dshape, jnp.int8),

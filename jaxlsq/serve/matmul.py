@@ -146,11 +146,17 @@ def _pick_bn(bm: int, bk: int, n: int, bits: int) -> int:
     512→4096 at M=128, K=N=8192 on v5e.  Budget: double-buffered w/x/out
     blocks + the f32 acc scratch under ~12 MiB of the ~16 MiB VMEM."""
     wbytes_per_col = bk if bits == 8 else bk // 2
+    # int4 unpack materializes i32-widened + two f32 nibble operands in VMEM
+    # (~5 B/elem measured from Mosaic's scoped-vmem accounting); the int8
+    # path's single f32 convert is fused into the MXU operand stream.
+    unpack_bytes_per_col = 0 if bits == 8 else 5 * bk
+    nx = 1 if bits == 8 else 2  # int4 consumes two x k-tiles per step
     for bn in (4096, 2048, 1024, 512, 256, 128):
         if bn > max(n, 128):
             continue
         vmem = (2 * bn * wbytes_per_col      # w tile (int8), double-buffered
-                + 2 * bm * bk * 4            # x tile(s)
+                + bn * unpack_bytes_per_col
+                + nx * 2 * bm * bk * 4       # x tile(s)
                 + 2 * bm * bn * 4            # out tile
                 + bm * bn * 4)               # acc scratch
         if vmem <= 12 * 1024 * 1024:

@@ -65,11 +65,16 @@ class PackedWeight(struct.PyTreeNode):
 def pack_int4(q: jnp.ndarray, k_axis: int) -> jnp.ndarray:
     """Pack int8-held 4-bit values two-per-byte along ``k_axis`` (split-half).
 
-    ``q`` values must lie in [-8, 7].  ``q.shape[k_axis]`` must be even.
+    ``q`` values must lie in [-8, 7].  Odd ``k`` is zero-padded by one row
+    (zeros contribute nothing to a contraction; consumers slice back to the
+    logical size via ``orig_shape`` — e.g. an RGB stem conv's in-axis of 3).
     """
     k = q.shape[k_axis]
     if k % 2:
-        raise ValueError(f"int4 packing needs an even contraction dim, got {k}")
+        pad = [(0, 0)] * q.ndim
+        pad[k_axis] = (0, 1)
+        q = jnp.pad(q, pad)
+        k += 1
     lo = jax.lax.slice_in_dim(q, 0, k // 2, axis=k_axis)
     hi = jax.lax.slice_in_dim(q, k // 2, k, axis=k_axis)
     # low nibble: first half; high nibble: second half (sign lives in bit 7)
@@ -134,6 +139,9 @@ def dequantize_weight(p: PackedWeight, dtype=jnp.float32) -> jnp.ndarray:
     """Reference dequant: ``(w_q - zp) * s`` (lsq_kernel.h:12-13).  The XLA
     serving fallback and the oracle for the fused Pallas epilogue."""
     q = unpack_int4(p.data, p.k_axis) if p.bits == 4 else p.data
+    if p.orig_shape and q.shape[p.k_axis] != p.orig_shape[p.k_axis]:
+        # odd-K zero pad from pack_int4 — slice back to the logical size
+        q = jax.lax.slice_in_dim(q, 0, p.orig_shape[p.k_axis], axis=p.k_axis)
     ndim = len(p.orig_shape)
     per_channel = p.scale.shape[0] > 1 or p.scale.shape[0] == p.orig_shape[p.axis]
     if per_channel and p.scale.shape[0] == p.orig_shape[p.axis]:

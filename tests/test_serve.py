@@ -39,9 +39,14 @@ def test_int4_pack_roundtrip():
         np.testing.assert_array_equal(unpack_int4(p, 0), qa)
 
 
-def test_int4_pack_odd_k_raises():
-    with pytest.raises(ValueError):
-        pack_int4(jnp.zeros((3, 4), jnp.int8), k_axis=0)
+def test_int4_pack_odd_k_zero_pads():
+    """Odd contraction dims zero-pad one row (RGB stem convs)."""
+    q = jnp.asarray(rng(60).randint(-8, 8, size=(3, 4)), jnp.int8)
+    p = pack_int4(q, k_axis=0)
+    assert p.shape == (2, 4)
+    u = unpack_int4(p, 0)
+    np.testing.assert_array_equal(u[:3], q)
+    np.testing.assert_array_equal(u[3], np.zeros(4, np.int8))
 
 
 @pytest.mark.parametrize("per_channel", [False, True])
@@ -306,3 +311,26 @@ def test_wo_matmul_bf16_activations():
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+def test_conv_int4_serving():
+    """4-bit conv weights through pack/unpack (k_axis = the HWIO 'in' axis)
+    and the serve-mode QuantConv."""
+    from jaxlsq.models import QuantCNN
+
+    qc = default_qconfig(4, 8, per_channel_weights=True, init_batches=1)
+    model = QuantCNN(num_classes=4, qconfig=qc, widths=(8,))
+    r = rng(50)
+    x0 = jnp.asarray(r.randn(2, 8, 8, 3).astype(np.float32))
+    v = model.init(jax.random.key(0), x0, training=False)
+    want, _ = model.apply(v, x0, training=False,
+                          mutable=["quant_state", "qparams"])
+    sv = convert(v, qc)
+    p = sv["quantized"]["conv_0"]["kernel"]
+    assert p.bits == 4
+    assert p.data.shape == (3, 3, 3 // 2 + 1, 8) or p.data.shape[2] == 1 \
+        or p.data.shape[2] * 2 == p.orig_shape[2]
+    sm = dataclasses.replace(model, qconfig=qc.for_serving("static", "xla"))
+    got = sm.apply(sv, x0, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
