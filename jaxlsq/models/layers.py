@@ -188,6 +188,10 @@ class QuantConv(nn.Module):
             # float — convs are activation-bound, unlike the dense path).
             from ..serve.pack import dequantize_weight
 
+            if self.qconfig.act_mode == "dynamic":
+                raise ValueError(
+                    "act_mode='dynamic' is not supported for conv layers; "
+                    "use 'static' or 'none' for models containing QuantConv")
             wspec = self.qconfig.weight_for_axis(3).spec
             kshape = (kh, kw, in_feat, self.features)
             packed = self.variable(

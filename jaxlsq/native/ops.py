@@ -93,9 +93,13 @@ def native_backward(grad: np.ndarray, x: np.ndarray, scale: np.ndarray,
                          _ptr(dx), _ptr(ds), _ptr(db),
                          ctypes.c_int64(n), ctypes.c_int64(c),
                          ctypes.c_int64(inner), ctypes.byref(p))
+    # Output shape matches golden_backward: per-channel always returns (C,)
+    # (even for size-1->C broadcast qparams, lsq.cpp:122-129); per-tensor
+    # returns the qparam's own shape.
+    if c > 1:
+        return dx, ds, db
     qshape = np.asarray(scale).shape
-    return dx, ds.reshape(qshape) if c > 1 else ds[:1].reshape(qshape), \
-        db.reshape(qshape) if c > 1 else db[:1].reshape(qshape)
+    return dx, ds[:1].reshape(qshape), db[:1].reshape(qshape)
 
 
 def native_quantize_i8(w: np.ndarray, scale: np.ndarray, shift: np.ndarray,

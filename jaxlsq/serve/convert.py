@@ -33,18 +33,24 @@ __all__ = ["convert", "shard_packed", "shard_converted", "serving_bits"]
 
 
 def serving_bits(spec: QuantSpec) -> int:
-    """Carrier width the serving path uses for a weight spec: int4 when the
-    trained quant range fits 16 levels, else int8 (same rule as
-    pack.quantize_weight)."""
-    return 4 if (spec.quant_max - spec.quant_min + 1) <= 16 else 8
+    """Carrier width the serving path uses for a weight spec: int4 only when
+    the trained quant range actually fits the signed int4 carrier [-8, 7]
+    (the fit test pack.quantize_weight enforces), else int8 — e.g. an
+    unsigned 4-bit range [0, 15] has 16 levels but serves from int8."""
+    if -8 <= spec.quant_min and spec.quant_max <= 7:
+        return 4
+    return 8
 
 
 def _act_qparams(qp: Dict[str, jnp.ndarray], spec: QuantSpec
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Freeze an activation quantizer: eps-clamped scale + shift→zp fold
-    (observers.py:417,419)."""
-    scale = jnp.maximum(qp["scale"].astype(jnp.float32),
-                        jnp.finfo(jnp.float32).eps)
+    (observers.py:417,419).  Clamp is ``max(|s|, eps)`` like the QAT kernels
+    (lsq_kernel.h:157, golden.clamp_scale) — a learned scale may drift
+    negative and must freeze to its effective magnitude, not to eps."""
+    from ..core.golden import clamp_scale
+
+    scale = clamp_scale(qp["scale"])
     zp = convert_shift_to_zp(qp["shift"], scale, spec)
     return scale, zp
 
@@ -125,20 +131,27 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
 def shard_packed(packed: PackedWeight, mesh: Mesh,
                  axis_name: str = "model") -> PackedWeight:
     """Column-parallel TP placement: shard the output-feature (N) axis of the
-    data and the per-channel qparams over ``axis_name``; replicate per-tensor
-    qparams.  Weights whose N is not divisible by the axis size (e.g. a small
-    classifier head) are replicated instead — correct either way, XLA just
-    skips the collective for them."""
+    data and the matching per-channel qparams over ``axis_name``.  Replicated
+    instead when the layout doesn't fit column parallelism:
+
+    * N not divisible by the axis size (e.g. a small classifier head) —
+      correct either way, XLA just skips the collective;
+    * the per-channel axis is not the last data axis (QuantEmbed tables are
+      per-ROW, axis 0 — sharding rows would turn every gather into an
+      all-to-all, so embedding tables replicate).
+    """
     axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    ndim = packed.data.ndim
     n = packed.data.shape[-1]
-    if n % axis_size:
+    column_parallel = (packed.axis == len(packed.orig_shape) - 1
+                       and n % axis_size == 0)
+    if not column_parallel:
         repl = NamedSharding(mesh, P())
         return jax.tree.map(lambda l: jax.device_put(l, repl), packed)
-    ndim = packed.data.ndim
     spec = [None] * ndim
     spec[-1] = axis_name  # N is last for both dense (K,N) and conv HWIO
     data = jax.device_put(packed.data, NamedSharding(mesh, P(*spec)))
-    if packed.scale.shape[0] > 1:
+    if packed.scale.shape[0] == n:  # per-channel qparams ride with N
         qsh = NamedSharding(mesh, P(axis_name))
     else:
         qsh = NamedSharding(mesh, P())

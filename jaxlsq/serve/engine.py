@@ -84,6 +84,8 @@ class ServingEngine:
     def submit(self, x) -> Future:
         """Enqueue one example (shape == example_shape); returns a Future
         resolving to the model output for that example."""
+        if self._stop:
+            raise RuntimeError("ServingEngine is closed")
         x = np.asarray(x)
         if x.shape != self.example_shape:
             raise ValueError(

@@ -61,6 +61,9 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int, *,
     ``_COMPLETE`` marker last; orbax has its own atomicity protocol.
     """
     use_orbax = _HAS_ORBAX if use_orbax is None else use_orbax
+    if use_orbax and not _HAS_ORBAX:
+        raise RuntimeError("orbax-checkpoint is not importable; "
+                           "use use_orbax=False (npz backend)")
     path = _step_dir(ckpt_dir, step)
     os.makedirs(path, exist_ok=True)
     state = jax.device_get(state)
@@ -93,6 +96,10 @@ def restore_checkpoint(ckpt_dir: str, target: Any, *,
     orbax_state = os.path.join(path, "state")
     use_orbax = (os.path.isdir(orbax_state) if use_orbax is None
                  else use_orbax)
+    if use_orbax and not _HAS_ORBAX:
+        raise RuntimeError(
+            f"checkpoint at {orbax_state} requires orbax-checkpoint, "
+            "which is not importable in this environment")
     if use_orbax:
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(orbax_state, target)

@@ -27,7 +27,7 @@ def annotate(name: str):
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, *, host_profiler: bool = True) -> Iterator[None]:
+def trace(log_dir: str) -> Iterator[None]:
     """Capture a profiler trace of the enclosed block into ``log_dir``
     (view with XProf / tensorboard-plugin-profile / Perfetto)."""
     jax.profiler.start_trace(log_dir, create_perfetto_trace=False)

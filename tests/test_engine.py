@@ -49,10 +49,6 @@ def test_engine_shape_validation():
 
 
 def test_engine_error_propagates():
-    def f(x):
-        return jnp.linalg.cholesky(jnp.zeros((2, 2)))[0, 0] * x  # NaN, fine
-    calls = {"n": 0}
-
     def g(x):
         raise RuntimeError("boom")
 
@@ -60,6 +56,13 @@ def test_engine_error_propagates():
         fut = eng.submit(np.zeros((4,), np.float32))
         with pytest.raises(RuntimeError, match="boom"):
             fut.result(timeout=30)
+
+
+def test_engine_submit_after_close_raises():
+    eng = ServingEngine(lambda x: x, example_shape=(2,))
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(np.zeros((2,), np.float32))
 
 
 def test_engine_close_flushes_pending():

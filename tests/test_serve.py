@@ -334,3 +334,75 @@ def test_conv_int4_serving():
     got = sm.apply(sv, x0, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_negative_learned_act_scale_converts_correctly():
+    """A learned activation scale that drifted negative must freeze to its
+    effective magnitude |s| (the QAT kernels clamp s = max(|s|, eps),
+    lsq_kernel.h:157) — not to eps."""
+    from jaxlsq.serve.convert import _act_qparams
+
+    spec = QuantSpec.make(8, signed=False)
+    qp = {"scale": jnp.asarray([-0.05]), "shift": jnp.asarray([-0.1])}
+    scale, zp = _act_qparams(qp, spec)
+    np.testing.assert_allclose(float(scale[0]), 0.05)
+    assert int(zp[0]) == 2  # round(0.1 / 0.05)
+
+
+def test_serving_bits_unsigned_4bit_falls_back_to_int8():
+    """An unsigned 4-bit range [0,15] has 16 levels but does not fit the
+    signed int4 carrier — serving_bits must pick int8, and convert must
+    succeed end-to-end."""
+    from jaxlsq.serve import serving_bits
+
+    uspec = QuantSpec.make(4, signed=False, symmetric=True)
+    assert serving_bits(uspec) == 8
+    sspec = QuantSpec.make(4, signed=True, symmetric=True)
+    assert serving_bits(sspec) == 4
+    w = jnp.asarray(rng(70).rand(8, 4).astype(np.float32))
+    packed = quantize_weight(w, jnp.asarray([0.01]), jnp.zeros((1,)), uspec,
+                             bits=serving_bits(uspec))
+    assert packed.bits == 8
+    np.testing.assert_allclose(
+        dequantize_weight(packed),
+        fake_quant(w, jnp.asarray([0.01]), jnp.zeros((1,)), uspec,
+                   eval_mode=True), atol=0)
+
+
+def test_shard_converted_embedding_replicates():
+    """Per-row (axis 0) embedding tables replicate under TP even when the
+    vocab is not divisible by the mesh axis (sharding rows would break
+    gathers)."""
+    import dataclasses as _dc
+
+    from jaxlsq.models import QuantEmbed, default_qconfig as _dq
+    from jaxlsq.serve import shard_converted
+
+    qc = _dq(8, 8, per_channel_weights=True, init_batches=0)
+    emb = QuantEmbed(37, 16, qc)  # vocab 37: indivisible by any axis size
+    toks = jnp.asarray([[0, 36]])
+    v = emb.init(jax.random.key(0), toks, training=False)
+    sv = convert(v, qc)
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_converted(sv, mesh)
+    p = sharded["quantized"]["embedding"]
+    assert p.data.shape == (37, 16)
+    sm = _dc.replace(emb, qconfig=qc.for_serving("static"))
+    with mesh:
+        got = jax.jit(lambda vv, t: sm.apply(vv, t, training=False))(
+            sharded, toks)
+    want = sm.apply(sv, toks, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_conv_dynamic_act_mode_rejected():
+    from jaxlsq.models import QuantCNN
+
+    qc = default_qconfig(8, 8, init_batches=0)
+    model = QuantCNN(num_classes=4, qconfig=qc, widths=(8,))
+    x0 = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    v = model.init(jax.random.key(0), x0, training=False)
+    sv = convert(v, qc)
+    sm = dataclasses.replace(model, qconfig=qc.for_serving("dynamic"))
+    with pytest.raises(ValueError, match="dynamic"):
+        sm.apply(sv, x0, training=False)
