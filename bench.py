@@ -191,7 +191,9 @@ def main():
     s1, s2 = make_stream(K1), make_stream(K2)
     float(s1(x)); float(s2(x))
 
-    rounds = 8 if on_tpu else 3
+    # More rounds = more chances to catch an uncontended tenancy window
+    # (min-of-rounds); the marginal cost is ~2 s/round.
+    rounds = 14 if on_tpu else 3
     rec = {impl: ([], []) for impl in impls}
     srec = ([], [])
     for _ in range(rounds):
