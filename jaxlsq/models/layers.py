@@ -141,21 +141,27 @@ class QuantDense(nn.Module):
     def _serve(self, x):
         """Frozen inference on packed weights: the fused weight-only matmul
         (jaxlsq/serve/matmul.py) replaces fake-quant + float matmul."""
-        from ..serve.matmul import dynamic_int8_matmul, wo_matmul
+        from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
+                                    wo_matmul)
 
         wspec = self.qconfig.weight_for_axis(1).spec
         kshape = (x.shape[-1], self.features)
         packed = self.variable("quantized", "kernel",
                                lambda: _dummy_packed(kshape, wspec, 1)).value
+        ascale = azp = None
         if self.qconfig.activation is not None:
             c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
             ascale = self.variable("quantized", "act_scale",
                                    lambda: jnp.ones((c,), jnp.float32)).value
             azp = self.variable("quantized", "act_zp",
                                 lambda: jnp.zeros((c,), jnp.int32)).value
+            aspec = self.qconfig.activation.spec
+            if self.qconfig.act_mode == "static_int8":
+                # true int8*int8 MXU path with the frozen act qparams
+                return static_int8_matmul(x, packed, ascale, azp,
+                                          aspec.quant_min, aspec.quant_max)
             if self.qconfig.act_mode == "static":
-                x = _static_act_quant(x, ascale, azp,
-                                      self.qconfig.activation.spec)
+                x = _static_act_quant(x, ascale, azp, aspec)
         if self.qconfig.act_mode == "dynamic":
             return dynamic_int8_matmul(x, packed)
         return wo_matmul(x, packed, impl=self.qconfig.serve_impl,
@@ -203,7 +209,9 @@ class QuantConv(nn.Module):
                                        lambda: jnp.ones((c,), jnp.float32)).value
                 azp = self.variable("quantized", "act_zp",
                                     lambda: jnp.zeros((c,), jnp.int32)).value
-                if self.qconfig.act_mode == "static":
+                if self.qconfig.act_mode in ("static", "static_int8"):
+                    # convs run the float-simulated static path (conv compute
+                    # is activation-bound; dense layers get the int8*int8 dot)
                     x = _static_act_quant(x, ascale, azp,
                                           self.qconfig.activation.spec)
             kernel = dequantize_weight(packed, x.dtype)

@@ -55,7 +55,7 @@ class QConfig:
         """The serving twin of this config (same specs, serve-mode layers) —
         apply the SAME model class with this config and the variables from
         ``jaxlsq.serve.convert``."""
-        if act_mode not in ("none", "static", "dynamic"):
+        if act_mode not in ("none", "static", "static_int8", "dynamic"):
             raise ValueError(f"unknown act_mode {act_mode!r}")
         return dataclasses.replace(self, mode="serve", act_mode=act_mode,
                                    serve_impl=impl, serve_precision=precision)

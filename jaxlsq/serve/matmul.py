@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pack import PackedWeight, dequantize_weight
 
-__all__ = ["wo_matmul", "dynamic_int8_matmul"]
+__all__ = ["wo_matmul", "dynamic_int8_matmul", "static_int8_matmul"]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -289,6 +289,62 @@ def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
 # --------------------------------------------------------------------------
 # Dynamic full-int8 path (int8 x int8 -> int32 on the MXU)
 # --------------------------------------------------------------------------
+
+def static_int8_matmul(x: jnp.ndarray, packed: PackedWeight,
+                       act_scale: jnp.ndarray, act_zp: jnp.ndarray,
+                       act_qmin: int, act_qmax: int, *,
+                       out_dtype=None) -> jnp.ndarray:
+    """Static-activation int8×int8 matmul with the full dequant epilogue.
+
+    The literal "int-matmul epilogue" serving path (BASELINE.json): x is
+    quantized with FROZEN (scale, zp) from convert(), the dot runs int8×int8
+    → i32 on the MXU, and the epilogue folds both dequants::
+
+        x_q  = clamp(round(x/sx + zpx), qmin, qmax)           # int8
+        out  = (x_q − zpx)·sx @ (w_q − zpw)·sw
+             = sx·sw·[ x_q@w_q − zpx·colsum(w_q)
+                       − zpw·rowsum(x_q) + K·zpx·zpw ]
+
+    Exact in integers up to the i32 accumulator (K·127² ≈ 2.1e9/K rows safe
+    for K ≤ ~130k), so it matches the float-simulated static path to f32
+    rounding — while streaming BOTH operands at int8 width.
+
+    Per-tensor ``act_scale/act_zp`` only (the standard activation layout).
+    """
+    if packed.bits != 8:
+        raise ValueError("static_int8_matmul needs an int8-packed weight")
+    if act_scale.shape[0] != 1:
+        raise ValueError("static activation qparams must be per-tensor")
+    out_dtype = out_dtype or x.dtype
+    x2d, lead = _flatten_batch(x)
+    xf = x2d.astype(jnp.float32)
+    sx = act_scale.astype(jnp.float32)[0]
+    zpx = act_zp.astype(jnp.float32)[0]
+    # Unsigned activation ranges (e.g. quint8 [0,255]) overflow the int8
+    # carrier the MXU dot wants; recentre by 128 — x_deq = (x_q − zpx)·sx is
+    # invariant under shifting both x_q and zpx.
+    shift = 128.0 if act_qmax > 127 else 0.0
+    xq = jnp.clip(jnp.round(xf / sx + zpx), act_qmin, act_qmax) - shift
+    xq = xq.astype(jnp.int8)
+    zpx = zpx - shift
+    acc = jax.lax.dot(xq, packed.data, preferred_element_type=jnp.int32)
+
+    n = packed.orig_shape[1]
+    sw = packed.scale.astype(jnp.float32)
+    zpw = packed.zero_point.astype(jnp.float32)
+    if sw.shape[0] == 1:
+        sw = jnp.broadcast_to(sw, (n,))
+        zpw = jnp.broadcast_to(zpw, (n,))
+    colsum_w = jnp.sum(packed.data.astype(jnp.int32), axis=0)      # (N,)
+    rowsum_x = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)  # (M,1)
+    kdim = packed.orig_shape[0]
+    out = (acc.astype(jnp.float32)
+           - zpx * colsum_w.astype(jnp.float32)[None, :]
+           - zpw[None, :] * rowsum_x.astype(jnp.float32)
+           + float(kdim) * zpx * zpw[None, :])
+    out = out * (sx * sw)[None, :]
+    return out.astype(out_dtype).reshape(*lead, n)
+
 
 def dynamic_int8_matmul(x: jnp.ndarray, packed: PackedWeight, *,
                         out_dtype=None) -> jnp.ndarray:

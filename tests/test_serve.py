@@ -406,3 +406,65 @@ def test_conv_dynamic_act_mode_rejected():
     sm = dataclasses.replace(model, qconfig=qc.for_serving("dynamic"))
     with pytest.raises(ValueError, match="dynamic"):
         sm.apply(sv, x0, training=False)
+
+
+def test_static_int8_matmul_matches_float_simulation():
+    """int8*int8 with the integer dequant epilogue == the float-simulated
+    static path (quantize x, float matmul) to f32 rounding — the i32
+    accumulator is exact."""
+    from jaxlsq.serve import static_int8_matmul
+    from jaxlsq.models.layers import _static_act_quant
+
+    wspec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                           axis=1)
+    aspec = QuantSpec.make(8, signed=False)  # affine acts, nonzero zp
+    k, n, m = 96, 48, 16
+    w = jnp.asarray(rng(80).randn(k, n).astype(np.float32))
+    sw = jnp.asarray(0.02 + 0.01 * rng(81).rand(n).astype(np.float32))
+    packed = quantize_weight(w, sw, jnp.zeros((n,)), wspec, bits=8)
+    x = jnp.asarray(rng(82).randn(m, k).astype(np.float32))
+    ascale = jnp.asarray([0.03], jnp.float32)
+    azp = jnp.asarray([120], jnp.int32)
+
+    got = static_int8_matmul(x, packed, ascale, azp,
+                             aspec.quant_min, aspec.quant_max)
+    x_sim = _static_act_quant(x, ascale, azp, aspec)
+    want = x_sim @ dequantize_weight(packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_static_int8_with_weight_zero_point():
+    """Affine weights too: all four epilogue correction terms live."""
+    from jaxlsq.serve import static_int8_matmul
+    from jaxlsq.models.layers import _static_act_quant
+
+    wspec = QuantSpec.make(8, signed=False, symmetric=False)
+    aspec = QuantSpec.make(8, signed=False)
+    k, n, m = 64, 32, 8
+    w = jnp.asarray(0.3 + rng(83).rand(k, n).astype(np.float32))
+    packed = quantize_weight(w, jnp.asarray([0.01]), jnp.asarray([-0.15]),
+                             wspec, bits=8)
+    assert int(packed.zero_point[0]) != 0
+    x = jnp.asarray(rng(84).randn(m, k).astype(np.float32))
+    ascale, azp = jnp.asarray([0.05]), jnp.asarray([128], jnp.int32)
+    got = static_int8_matmul(x, packed, ascale, azp,
+                             aspec.quant_min, aspec.quant_max)
+    want = _static_act_quant(x, ascale, azp, aspec) @ dequantize_weight(packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serve_model_static_int8_close_to_static():
+    """Model-level act_mode='static_int8' tracks the float-simulated 'static'
+    path (identical quant decisions; only f32-vs-i32 accumulation differs)."""
+    model, qc, state = _trained_mlp(weight_bits=8)
+    x = jnp.asarray(rng(85).randn(4, 16).astype(np.float32))
+    sv = convert({**state.params, **state.model_state}, qc)
+    sm_f = dataclasses.replace(model, qconfig=qc.for_serving("static", "xla"))
+    sm_i = dataclasses.replace(model,
+                               qconfig=qc.for_serving("static_int8", "xla"))
+    want = sm_f.apply(sv, x, training=False)
+    got = sm_i.apply(sv, x, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
