@@ -3,10 +3,10 @@
 from .checkpoint import (latest_step, restore_checkpoint, restore_or_init,
                          save_checkpoint)
 from .profiling import StepTimer, annotate, trace
-from .report import format_report, quantizer_report
+from .report import format_report, quantizer_report, serving_size_report
 
 __all__ = [
     "latest_step", "restore_checkpoint", "restore_or_init", "save_checkpoint",
     "StepTimer", "annotate", "trace",
-    "format_report", "quantizer_report",
+    "format_report", "quantizer_report", "serving_size_report",
 ]

@@ -13,7 +13,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["quantizer_report", "format_report"]
+__all__ = ["quantizer_report", "format_report", "serving_size_report"]
 
 
 def _walk(qp_tree, qs_tree, path, rows):
@@ -77,3 +77,40 @@ def format_report(rows: List[Dict[str, Any]], max_rows: Optional[int] = None
     if max_rows is not None and len(rows) > max_rows:
         out.append(f"... {len(rows) - max_rows} more")
     return "\n".join(out)
+
+
+def serving_size_report(serve_vars) -> Dict[str, Any]:
+    """Byte accounting of a converted serving variables tree: packed integer
+    weights vs everything else, plus the f32-equivalent size and compression
+    ratio — the HBM-capacity half of the weight-only story."""
+    from ..serve.pack import PackedWeight
+
+    packed_bytes = 0
+    packed_f32_equiv = 0
+    other_bytes = 0
+    n_packed = 0
+
+    def visit(leaf):
+        nonlocal packed_bytes, packed_f32_equiv, other_bytes, n_packed
+        if isinstance(leaf, PackedWeight):
+            n_packed += 1
+            packed_bytes += (leaf.data.size * leaf.data.dtype.itemsize
+                             + leaf.scale.size * 4 + leaf.zero_point.size * 4)
+            packed_f32_equiv += int(np.prod(leaf.orig_shape)) * 4
+        elif hasattr(leaf, "size"):
+            other_bytes += leaf.size * np.dtype(leaf.dtype).itemsize
+
+    import jax
+
+    jax.tree.map(visit, serve_vars,
+                 is_leaf=lambda l: isinstance(l, PackedWeight))
+    total = packed_bytes + other_bytes
+    f32_total = packed_f32_equiv + other_bytes
+    return {
+        "packed_weights": n_packed,
+        "packed_bytes": packed_bytes,
+        "other_bytes": other_bytes,
+        "total_bytes": total,
+        "f32_equivalent_bytes": f32_total,
+        "compression": round(f32_total / max(total, 1), 3),
+    }

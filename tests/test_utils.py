@@ -127,3 +127,22 @@ def test_bf16_qat_training_step():
     assert np.isfinite(float(metrics["loss"]))
     for leaf in jax.tree.leaves(state.params["qparams"]):
         assert np.all(np.isfinite(np.asarray(leaf, dtype=np.float32)))
+
+
+def test_serving_size_report():
+    import dataclasses
+
+    from jaxlsq.models import QuantMLP, default_qconfig
+    from jaxlsq.serve import convert
+    from jaxlsq.utils import serving_size_report
+
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=0)
+    model = QuantMLP(features=(64, 16), qconfig=qc)
+    x0 = jnp.zeros((2, 32), jnp.float32)
+    v = model.init(jax.random.key(0), x0, training=False)
+    sv = convert(v, qc)
+    rep = serving_size_report(sv)
+    assert rep["packed_weights"] == 2
+    # int8 kernels: ~4x smaller than f32 (scale/zp/bias/act qparams overheads)
+    assert rep["compression"] > 2.5
+    assert rep["total_bytes"] < rep["f32_equivalent_bytes"]
