@@ -184,3 +184,28 @@ def test_bf16_input():
     out = fake_quant(x, jnp.array([0.1]), jnp.array([0.0]), spec)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_remat_compatibility():
+    """jax.checkpoint (remat) through the custom-vjp fake quantizer: grads
+    through a rematerialized block equal the plain ones for both impls —
+    the memory/FLOPs trade big-model training relies on works out of the box."""
+    spec = QuantSpec.make(8, signed=False)
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(16, 32).astype(np.float32))
+    w = jnp.asarray(r.randn(32, 8).astype(np.float32))
+    s, b = jnp.asarray([0.1]), jnp.asarray([0.02])
+
+    def block(xx, ww, ss, bb, impl):
+        return jnp.tanh(fake_quant(xx, ss, bb, spec, impl=impl) @ ww)
+
+    for impl in ("reference", "pallas"):
+        g1 = jax.grad(lambda w_, s_, b_: jnp.sum(block(x, w_, s_, b_, impl)),
+                      argnums=(0, 1, 2))(w, s, b)
+        g2 = jax.grad(
+            lambda w_, s_, b_: jnp.sum(jax.checkpoint(
+                lambda a, ww, ss, bb: block(a, ww, ss, bb, impl))(
+                    x, w_, s_, b_)), argnums=(0, 1, 2))(w, s, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-6, atol=1e-7)
