@@ -209,3 +209,22 @@ def test_remat_compatibility():
         for a, c in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_vmap_batching_rule():
+    """fake_quant composes with jax.vmap (ensembles / per-example qparams)
+    for both impls — SURVEY.md §7 step 2 'batch-rule compatibility'."""
+    spec = QuantSpec.make(8, signed=False)
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(4, 16, 32).astype(np.float32))
+    s = jnp.asarray(0.05 + 0.01 * r.rand(4, 1).astype(np.float32))
+    b = jnp.asarray(0.01 * r.randn(4, 1).astype(np.float32))
+    for impl in ("reference", "pallas"):
+        f = jax.vmap(lambda xx, ss, bb: fake_quant(xx, ss, bb, spec,
+                                                   impl=impl))
+        out = f(x, s, b)
+        want = jnp.stack([fake_quant(x[i], s[i], b[i], spec, impl=impl)
+                          for i in range(4)])
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+        g = jax.grad(lambda ss: jnp.sum(f(x, ss, b)))(s)
+        assert g.shape == (4, 1) and np.all(np.isfinite(np.asarray(g)))
