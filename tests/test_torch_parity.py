@@ -115,3 +115,29 @@ def test_observer_qparams_match_torch_minmax():
 
     np.testing.assert_allclose(float(j_scale[0]), float(t_scale), rtol=1e-6)
     assert int(j_zp[0]) == int(t_zp)
+
+
+def test_per_channel_observer_qparams_match_torch():
+    """Per-channel MinMax observer vs torch.ao's PerChannelMinMaxObserver."""
+    from jaxlsq.observers import MinMaxObserver as JMinMax
+
+    tq = pytest.importorskip("torch.ao.quantization")
+    r = np.random.RandomState(4)
+    x = (r.randn(6, 128) * np.asarray([0.5, 1, 2, 4, 8, 16])[:, None]
+         ).astype(np.float32)
+
+    tobs = tq.PerChannelMinMaxObserver(
+        ch_axis=0, dtype=torch.qint8,
+        qscheme=torch.per_channel_symmetric, quant_min=-128, quant_max=127)
+    tobs(torch.from_numpy(x))
+    t_scale, t_zp = tobs.calculate_qparams()
+
+    spec = QuantSpec(quant_min=-128, quant_max=127, symmetric=True,
+                     per_channel=True, axis=0)
+    jobs = JMinMax(per_channel=True, axis=0)
+    st = jobs.update(jobs.init(6), jnp.asarray(x))
+    j_scale, j_zp = jobs.calculate_qparams(st, spec)
+
+    np.testing.assert_allclose(np.asarray(j_scale), t_scale.numpy(),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(j_zp), t_zp.numpy())
