@@ -42,14 +42,15 @@ __all__ = ["fake_quant", "fake_quant_traced", "lsq"]
 def _default_impl() -> str:
     """Default compute path.
 
-    Measured on TPU v5e (see bench.py): XLA fuses the golden jnp backward —
-    dX elementwise + both dS/dB reductions — into ONE HBM pass and aliases dX
-    onto the dead cotangent buffer, reaching ~84% of HBM roofline; the
-    hand-written Pallas kernels (with the same dX↔grad aliasing) reach ~77%.
-    For this elementwise+reduce op the XLA fusion path IS speed-of-light, so
-    it is the default everywhere; ``impl='pallas'`` stays available and fully
-    tested (and Pallas remains the tool for ops XLA cannot fuse, e.g. the
-    serving-path quantized matmul epilogues).
+    Measured on TPU v5e (see bench.py): with output↔input aliasing on both
+    kernels, the Pallas path and the XLA-fused golden path are at parity on
+    the isolated op (within ~1% of each other at ~0.8 of the HBM roofline —
+    both at the chip's achievable stream ceiling).  The golden path stays the
+    default because INSIDE real models XLA additionally fuses the fake-quant
+    into neighboring elementwise ops (bias/activation/norm), which an opaque
+    custom call cannot; ``impl='pallas'`` is the explicit option and the
+    blueprint for ops XLA cannot fuse (the serving-path quantized matmul
+    epilogues).
     """
     return "reference"
 
