@@ -17,7 +17,6 @@ LOGICAL (global) shapes, so:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
@@ -26,7 +25,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import data_sharding, replicated
+from .mesh import replicated
 
 __all__ = ["QATTrainState", "make_train_step", "make_eval_step",
            "create_train_state", "cross_entropy_loss"]
