@@ -146,3 +146,62 @@ def test_serving_size_report():
     # int8 kernels: ~4x smaller than f32 (scale/zp/bias/act qparams overheads)
     assert rep["compression"] > 2.5
     assert rep["total_bytes"] < rep["f32_equivalent_bytes"]
+
+
+def test_load_torchlsq_state():
+    """Reference torchlsq state_dicts (scale/shift + flag buffers) import
+    into a jaxlsq variables tree; plain FakeQuantize zero_points fold via
+    shift = -zp*scale (observers.py:366-368)."""
+    from jaxlsq.models import QuantMLP, default_qconfig
+    from jaxlsq.utils import load_torchlsq_state
+
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=3)
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    v = model.init(jax.random.key(0), jnp.zeros((2, 8)), training=False)
+
+    # synthetic reference state_dict (as numpy, like sd[k].numpy())
+    sd = {
+        "features.0.activation_post_process.scale": np.asarray([0.037]),
+        "features.0.activation_post_process.shift": np.asarray([-0.5]),
+        "features.0.activation_post_process.fake_quant_enabled":
+            np.asarray([1], np.uint8),
+        "features.0.activation_post_process.observer_enabled":
+            np.asarray([0], np.uint8),
+        "features.0.activation_post_process.current_batch":
+            np.asarray([7], np.int64),
+        # weight quantizer stored FakeQuantize-style: scale + zero_point
+        "features.0.weight_fake_quant.scale":
+            (0.01 + 0.001 * np.arange(16)).astype(np.float32),
+        "features.0.weight_fake_quant.zero_point":
+            np.zeros(16, np.int64),
+    }
+    out = load_torchlsq_state(v, sd, {
+        "dense_0/act_fq": "features.0.activation_post_process",
+        "dense_0/weight_fq": "features.0.weight_fake_quant",
+    })
+    aqp = out["qparams"]["dense_0"]["act_fq"]["qp"]
+    np.testing.assert_allclose(np.asarray(aqp["scale"]), [0.037])
+    np.testing.assert_allclose(np.asarray(aqp["shift"]), [-0.5])
+    wqp = out["qparams"]["dense_0"]["weight_fq"]["qp"]
+    assert wqp["scale"].shape == (16,)
+    np.testing.assert_allclose(np.asarray(wqp["shift"]), np.zeros(16))
+    qs = out["quant_state"]["dense_0"]["act_fq"]["qs"]
+    assert not bool(qs["observer_enabled"])
+    assert int(qs["current_batch"]) == 7
+    # the imported model still runs
+    y, _ = model.apply(out, jnp.ones((2, 8)), training=False,
+                       mutable=["quant_state", "qparams"])
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_load_torchlsq_state_shape_mismatch():
+    from jaxlsq.models import QuantMLP, default_qconfig
+    from jaxlsq.utils import load_torchlsq_state
+
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=0)
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    v = model.init(jax.random.key(0), jnp.zeros((2, 8)), training=False)
+    sd = {"m.scale": np.ones(5, np.float32)}  # wrong channel count
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scale shape"):
+        load_torchlsq_state(v, sd, {"dense_0/weight_fq": "m"})
