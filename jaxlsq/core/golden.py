@@ -143,14 +143,13 @@ def golden_backward(
 
     xq = jnp.clip(x / s + zp, qmin, qmax)  # unrounded for the mask
     mask = (qmin < xq) & (xq < qmax)  # strict (lsq_kernel.h:109)
-    dX = jnp.where(init_mode, grad, grad * mask) if init_mode else grad * mask
+    dX = grad if init_mode else grad * mask  # init_mode is a static Python bool here
 
     if eval_mode:
         # lsq_kernel.h:126-145: STE dX (init_mode passthrough), zero param grads.
-        if init_mode:
-            dX = grad
-        zeros = jnp.zeros_like(scale, dtype=x.dtype)
-        return dX, zeros, zeros + jnp.zeros_like(shift, dtype=x.dtype)
+        return (dX,
+                jnp.zeros_like(scale, dtype=x.dtype),
+                jnp.zeros_like(shift, dtype=x.dtype))
 
     xfq = (jnp.round(xq) - zp) * s
     if init_mode:

@@ -144,7 +144,12 @@ class QuantDense(nn.Module):
         from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
                                     wo_matmul)
 
-        wspec = self.qconfig.weight_for_axis(1).spec
+        wcfg = self.qconfig.weight_for_axis(1)
+        if wcfg is None:
+            raise ValueError(
+                "serve mode requires a weight quantizer; qconfig.weight is None "
+                "(weight-unquantized layers have no packed kernel to serve from)")
+        wspec = wcfg.spec
         kshape = (x.shape[-1], self.features)
         packed = self.variable("quantized", "kernel",
                                lambda: _dummy_packed(kshape, wspec, 1)).value
@@ -198,7 +203,12 @@ class QuantConv(nn.Module):
                 raise ValueError(
                     "act_mode='dynamic' is not supported for conv layers; "
                     "use 'static' or 'none' for models containing QuantConv")
-            wspec = self.qconfig.weight_for_axis(3).spec
+            wcfg = self.qconfig.weight_for_axis(3)
+            if wcfg is None:
+                raise ValueError(
+                    "serve mode requires a weight quantizer; qconfig.weight is "
+                    "None (weight-unquantized layers have no packed kernel)")
+            wspec = wcfg.spec
             kshape = (kh, kw, in_feat, self.features)
             packed = self.variable(
                 "quantized", "kernel",
@@ -262,6 +272,10 @@ class QuantEmbed(nn.Module):
         kshape = (self.num_embeddings, self.features)
         if self.qconfig.mode == "serve":
             wcfg = self.qconfig.weight_for_axis(0)
+            if wcfg is None and self.qconfig.weight is None:
+                raise ValueError(
+                    "serve mode requires a weight quantizer; qconfig.weight is "
+                    "None (weight-unquantized embeddings have no packed table)")
             wspec = (wcfg.spec if wcfg is not None
                      else self.qconfig.weight.spec)
             # int8 always: int4 nibble packing would break row gathers

@@ -54,7 +54,12 @@ class QConfig:
                     precision: Optional[str] = None) -> "QConfig":
         """The serving twin of this config (same specs, serve-mode layers) —
         apply the SAME model class with this config and the variables from
-        ``jaxlsq.serve.convert``."""
+        ``jaxlsq.serve.convert``.
+
+        For TP-sharded serving under jit (``shard_converted``), pass
+        ``impl='xla'``: a pallas_call has no SPMD partitioning rule, so the
+        'auto' Pallas pick would make XLA all-gather the N-sharded weight
+        (auto self-corrects only for concrete, already-committed arrays)."""
         if act_mode not in ("none", "static", "static_int8", "dynamic"):
             raise ValueError(f"unknown act_mode {act_mode!r}")
         return dataclasses.replace(self, mode="serve", act_mode=act_mode,

@@ -74,6 +74,10 @@ class ServingEngine:
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._stats_lock = threading.Lock()
+        # Serializes submit() against close() so a request can never be
+        # enqueued after the close sentinel (whose leftovers flush would
+        # otherwise miss it, leaving its Future unresolved forever).
+        self._lifecycle_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "padded_examples": 0}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -84,14 +88,15 @@ class ServingEngine:
     def submit(self, x) -> Future:
         """Enqueue one example (shape == example_shape); returns a Future
         resolving to the model output for that example."""
-        if self._stop:
-            raise RuntimeError("ServingEngine is closed")
         x = np.asarray(x)
         if x.shape != self.example_shape:
             raise ValueError(
                 f"expected example shape {self.example_shape}, got {x.shape}")
         req = _Request(x)
-        self._queue.put(req)
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError("ServingEngine is closed")
+            self._queue.put(req)
         return req.future
 
     def submit_many(self, xs) -> list:
@@ -104,8 +109,11 @@ class ServingEngine:
             jax.block_until_ready(self._fn(x))
 
     def close(self):
-        self._stop = True
-        self._queue.put(None)  # wake the dispatcher
+        with self._lifecycle_lock:
+            already = self._stop
+            self._stop = True
+            if not already:
+                self._queue.put(None)  # wake the dispatcher
         self._thread.join(timeout=10)
 
     def __enter__(self):

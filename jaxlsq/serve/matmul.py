@@ -239,6 +239,22 @@ def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
     return out[:m, :n]
 
 
+def _is_cross_device_sharded(arr) -> bool:
+    """True when a CONCRETE array is laid out across >1 device non-replicated.
+
+    Used by ``impl='auto'`` to avoid routing TP-sharded weights into the
+    Pallas kernel: a ``pallas_call`` has no SPMD partitioning rule, so XLA
+    would all-gather the N-sharded weight (defeating column parallelism).
+    Tracers (sharding unknown under jit) return False — for TP serving under
+    jit pass ``impl='xla'`` explicitly (``QConfig.for_serving(impl='xla')``).
+    """
+    try:
+        sh = getattr(arr, "sharding", None)
+        return sh is not None and not sh.is_fully_replicated
+    except Exception:
+        return False
+
+
 def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
               impl: str = "auto",
               out_dtype=None,
@@ -270,7 +286,8 @@ def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
         # → pallas; prefill/training-shaped calls → XLA, whose dequant-once
         # f32 weights amortize across all M rows.
         if (jax.default_backend() == "tpu"
-                and x2d.shape[0] <= max(block_m, 256)):
+                and x2d.shape[0] <= max(block_m, 256)
+                and not _is_cross_device_sharded(packed.data)):
             impl = "pallas"
         else:
             impl = "xla"

@@ -109,12 +109,14 @@ def quantize_weight(w: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
       scale, shift: learned qparams, shape (1,) or (C,) along ``spec.axis``.
       spec: the weight QuantSpec used during QAT.
       bits: carrier width, 8 or 4; defaults to 4 when the spec's quant range
-        fits in 4 bits, else 8.
+        fits the SIGNED int4 carrier [-8, 7] (matching ``convert.serving_bits``
+        — unsigned 4-bit ranges like [0, 15] fall back to int8 rather than
+        erroring), else 8.
       k_axis: contraction axis for int4 packing (dense: 0; conv: pass the
         flattened-input axis — convs are packed at 8 bit by default).
     """
     if bits is None:
-        bits = 4 if (spec.quant_max - spec.quant_min + 1) <= 16 else 8
+        bits = 4 if (-8 <= spec.quant_min and spec.quant_max <= 7) else 8
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
     if bits == 4 and not (-8 <= spec.quant_min and spec.quant_max <= 7):

@@ -39,6 +39,12 @@ def _step_dir(ckpt_dir: str, step: int) -> str:
     return os.path.join(ckpt_dir, f"step_{step:010d}")
 
 
+def _leaf_paths(tree: Any) -> list:
+    """Stable per-leaf key-path strings for structural tree comparison."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(kp) for kp, _ in flat]
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     """Largest completed checkpoint step in ``ckpt_dir``, or None."""
     if not os.path.isdir(ckpt_dir):
@@ -46,10 +52,13 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     steps = []
     for name in os.listdir(ckpt_dir):
         if name.startswith("step_"):
+            suffix = name[len("step_"):]
+            if not suffix.isdigit():
+                continue  # stray dirs like step_tmp must not break restore
             marker = os.path.join(ckpt_dir, name, "_COMPLETE")
             orbax_ok = os.path.isdir(os.path.join(ckpt_dir, name, "state"))
             if os.path.exists(marker) or orbax_ok:
-                steps.append(int(name[len("step_"):]))
+                steps.append(int(suffix))
     return max(steps) if steps else None
 
 
@@ -76,7 +85,8 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int, *,
     np.savez(os.path.join(path, "leaves.npz"),
              **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
     with open(os.path.join(path, "treedef.json"), "w") as f:
-        json.dump({"treedef": str(treedef), "n": len(leaves)}, f)
+        json.dump({"treedef": str(treedef), "n": len(leaves),
+                   "paths": _leaf_paths(state)}, f)
     with open(os.path.join(path, "_COMPLETE"), "w") as f:
         f.write("ok")
     return path
@@ -108,7 +118,18 @@ def restore_checkpoint(ckpt_dir: str, target: Any, *,
     data = np.load(os.path.join(path, "leaves.npz"))
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(meta["n"])]
     treedef = jax.tree.structure(target)
-    if str(treedef) != meta["treedef"]:
+    # Structural check via key paths (robust across JAX versions, unlike
+    # treedef repr strings); older checkpoints without "paths" fall back to
+    # the repr comparison.
+    if "paths" in meta:
+        target_paths = _leaf_paths(target)
+        if target_paths != meta["paths"]:
+            saved, got = set(meta["paths"]), set(target_paths)
+            raise ValueError(
+                "checkpoint tree structure does not match target:\n"
+                f"  only in checkpoint: {sorted(saved - got)[:8]}\n"
+                f"  only in target:     {sorted(got - saved)[:8]}")
+    elif str(treedef) != meta["treedef"]:
         raise ValueError(
             "checkpoint tree structure does not match target:\n"
             f"  saved:  {meta['treedef']}\n  target: {treedef}")

@@ -107,3 +107,33 @@ def test_engine_serves_converted_model():
         futs = eng.submit_many([np.asarray(x0[i]) for i in range(4)])
         got = np.stack([f.result(timeout=60) for f in futs])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_close_submit_race_never_hangs():
+    """ADVICE r1 TOCTOU: a submit racing close() must either raise or resolve
+    its Future — never leave it pending forever."""
+    import threading
+    from concurrent.futures import Future
+
+    fn = jax.jit(lambda x: x * 2.0)
+    futures: list = []
+
+    def hammer(engine, stop_evt):
+        while not stop_evt.is_set():
+            try:
+                futures.append(engine.submit(np.ones((3,), np.float32)))
+            except RuntimeError:
+                return
+
+    for _ in range(5):  # a few rounds to give the race a chance
+        eng = ServingEngine(fn, (3,), max_batch=4, max_wait_ms=0.5)
+        stop_evt = threading.Event()
+        t = threading.Thread(target=hammer, args=(eng, stop_evt))
+        t.start()
+        time.sleep(0.02)
+        eng.close()
+        stop_evt.set()
+        t.join(timeout=5)
+        assert not t.is_alive()
+    for f in futures:
+        np.testing.assert_allclose(f.result(timeout=10), 2.0)

@@ -468,3 +468,47 @@ def test_serve_model_static_int8_close_to_static():
     got = sm_i.apply(sv, x, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_weight_default_bits_carrier_fit():
+    """ADVICE r1: default bits follows the signed-int4 carrier fit (like
+    convert.serving_bits) — unsigned 4-bit [0,15] falls back to int8, and
+    signed [-8,7] packs to int4, without passing bits explicitly."""
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((8, 6)), jnp.float32)
+    s = jnp.asarray([0.1], jnp.float32)
+    z = jnp.asarray([0.0], jnp.float32)
+    u4 = QuantSpec(quant_min=0, quant_max=15)
+    p = quantize_weight(w, s, z, u4)  # must not raise
+    assert p.bits == 8
+    s4 = QuantSpec(quant_min=-8, quant_max=7, symmetric=True)
+    assert quantize_weight(w, s, z, s4).bits == 4
+
+
+def test_auto_impl_detects_tp_sharded_weight():
+    """ADVICE r1: impl='auto' must not route a TP-sharded (non-replicated)
+    weight into the Pallas kernel (no SPMD rule -> forced all-gather)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from jaxlsq.serve.matmul import _is_cross_device_sharded
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = Mesh(np.array(devs[:2]), ("model",))
+    x = jnp.zeros((4, 256), jnp.int8)
+    sharded = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    replicated = jax.device_put(x, NamedSharding(mesh, P(None, None)))
+    assert _is_cross_device_sharded(sharded)
+    assert not _is_cross_device_sharded(replicated)
+    assert not _is_cross_device_sharded(jnp.zeros((4, 4)))
+
+
+def test_serve_mode_requires_weight_quantizer():
+    """ADVICE r1: a weight-unquantized QConfig in serve mode raises a clear
+    ValueError instead of an AttributeError on NoneType."""
+    from jaxlsq.models.layers import QuantDense
+
+    qc = dataclasses.replace(default_qconfig(8, 8).for_serving(), weight=None)
+    layer = QuantDense(features=4, qconfig=qc)
+    with pytest.raises(ValueError, match="weight quantizer"):
+        layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))

@@ -205,3 +205,16 @@ def test_load_torchlsq_state_shape_mismatch():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scale shape"):
         load_torchlsq_state(v, sd, {"dense_0/weight_fq": "m"})
+
+
+def test_latest_step_ignores_stray_dirs(tmp_path):
+    """ADVICE r1: step_tmp with a _COMPLETE marker must not break restore."""
+    import os
+
+    _, _, state, _, _ = _state_and_step(steps=1)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, 7, use_orbax=False)
+    stray = tmp_path / "ckpt" / "step_tmp"
+    stray.mkdir()
+    (stray / "_COMPLETE").write_text("ok")
+    assert latest_step(ckpt) == 7
