@@ -61,6 +61,10 @@ class MinMaxObserver:
     axis: int = 1
     averaging_constant: Optional[float] = None
 
+    # Cheap update (one fusable min/max reduce): the traced QAT path keeps it
+    # always-on and jnp.where-merges — see LSQQuantizer._forward_traced.
+    expensive_update = False
+
     def init(self, num_channels: int = 1) -> ObserverState:
         c = num_channels if self.per_channel else 1
         return ObserverState(
@@ -127,6 +131,10 @@ class MSEObserver:
     axis: int = 1
     num_candidates: int = 64
     averaging_constant: Optional[float] = 0.01
+
+    # 64-candidate grid search per update: the traced QAT path gates it
+    # behind lax.cond so post-window steps pay nothing.
+    expensive_update = True
 
     def init(self, num_channels: int = 1) -> ObserverState:
         c = num_channels if self.per_channel else 1

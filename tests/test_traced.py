@@ -90,3 +90,35 @@ def test_traced_grads_flow_through_flags_as_zero():
 
     g = jax.grad(f)(jnp.float32(0.0))
     assert float(g) == 0.0
+
+
+def test_expensive_observer_update_is_cond_gated():
+    """VERDICT r1 #4: the MSE observer's 64-candidate grid search must sit
+    behind lax.cond in the traced program (post-window steps pay nothing),
+    while cheap min/max observers stay fused (no cond)."""
+    from jaxlsq.observers import LSQQuantizer, MSEObserver
+
+    def prims(q):
+        state = q.init(jnp.zeros((4, 8)))
+
+        def f(state, x):
+            return q(state, x, training=True)
+
+        jaxpr = jax.make_jaxpr(f)(state, jnp.zeros((4, 8)))
+        names = set()
+
+        def walk(jx):
+            for eqn in jx.eqns:
+                names.add(eqn.primitive.name)
+                for p in eqn.params.values():
+                    if hasattr(p, "jaxpr"):
+                        walk(p.jaxpr)
+        walk(jaxpr.jaxpr)
+        return names
+
+    spec = QuantSpec.activation_default(8)
+    q_mse = LSQQuantizer(spec=spec, n_batches=2,
+                         observer=MSEObserver(spec=spec))
+    assert "cond" in prims(q_mse)
+    q_minmax = LSQQuantizer(spec=spec, n_batches=2)
+    assert "cond" not in prims(q_minmax)
