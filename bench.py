@@ -133,6 +133,54 @@ def bench_serving(roofline: float):
     }
 
 
+def bench_decode():
+    """Autoregressive decode tokens/s on the quantized serving path vs the
+    float model (BASELINE.json "tokens/s"): prefill + scan-fused greedy
+    decode (jaxlsq/serve/decode.py), per-token time from the slope between
+    two generation lengths (cancels prefill + dispatch overheads)."""
+    import dataclasses
+
+    from jaxlsq.models import QuantTransformerLM, default_qconfig
+    from jaxlsq.models.qconfig import QConfig
+    from jaxlsq.serve import convert, make_generate
+
+    VOCAB, DIM, DEPTH, HEADS, T0 = 8192, 1024, 4, 16, 32
+    N1, N2 = 8, 24
+    qc = default_qconfig(8, 8, init_batches=1)
+    model = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=DEPTH,
+                               num_heads=HEADS, qconfig=qc, max_len=T0 + N2)
+    r = np.random.RandomState(7)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, T0), jnp.int32), training=False)
+    sv = convert(variables, qc)
+    sm = dataclasses.replace(model, qconfig=qc.for_serving("none", "auto"))
+    fm = dataclasses.replace(model, qconfig=QConfig())  # float twin
+    fv = {"params": variables["params"]}
+
+    out = {}
+    for B in (1, 8):
+        prompt = jnp.asarray(r.randint(0, VOCAB, size=(B, T0)))
+        runs = {}
+        for name, mdl, var in (("int8", sm, sv), ("f32", fm, fv)):
+            g1 = make_generate(mdl, T0, N1, cache_dtype=jnp.bfloat16)
+            g2 = make_generate(mdl, T0, N2, cache_dtype=jnp.bfloat16)
+            np.asarray(g1(var, prompt)); np.asarray(g2(var, prompt))  # warm
+            t1s, t2s = [], []
+            for _ in range(5):
+                t0 = time.perf_counter(); np.asarray(g1(var, prompt))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); np.asarray(g2(var, prompt))
+                t2s.append(time.perf_counter() - t0)
+            runs[name] = max((min(t2s) - min(t1s)) / (N2 - N1), 1e-9)
+        out[f"decode_tokens_per_s_b{B}_int8"] = round(B / runs["int8"], 1)
+        out[f"decode_tokens_per_s_b{B}_f32"] = round(B / runs["f32"], 1)
+        out[f"decode_speedup_b{B}_int8_vs_f32"] = round(
+            runs["f32"] / runs["int8"], 2)
+    out["decode_shape"] = (f"LM d{DIM} depth{DEPTH} vocab{VOCAB} "
+                           f"prompt{T0}, greedy scan decode, bf16 KV cache")
+    return out
+
+
 def main():
     from jaxlsq import QuantSpec, fake_quant
 
@@ -235,6 +283,10 @@ def main():
             serve = bench_serving(roofline)
         except Exception as e:  # serving leg must never sink the headline
             serve = {"serve_error": str(e)[:200]}
+        try:
+            serve.update(bench_decode())
+        except Exception as e:
+            serve["decode_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "fused fake-quant fwd+bwd HBM roofline fraction",

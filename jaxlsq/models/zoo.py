@@ -185,7 +185,14 @@ def mobilenetv2_cifar(num_classes: int, qconfig: QConfig) -> QuantMobileNetV2:
 class QuantTransformerBlock(nn.Module):
     """Pre-LN transformer block with every matmul LSQ-quantized (QKV/out
     projections + MLP).  The block whose dense layers the INT8/INT4 serving
-    path accelerates — "tokens/s" in BASELINE.json means these matmuls."""
+    path accelerates — "tokens/s" in BASELINE.json means these matmuls.
+
+    Autoregressive serving: pass ``kv_cache=(k, v)`` (shape (B, H, L, hd))
+    and a traced ``cache_index`` to run prefill (t = prompt length) or decode
+    (t = 1) against the cache.  The new keys/values are written with
+    ``lax.dynamic_update_slice`` (static shapes — one compiled program serves
+    every position) and the call returns ``(x, (k, v))``.
+    """
 
     dim: int
     num_heads: int
@@ -193,7 +200,8 @@ class QuantTransformerBlock(nn.Module):
     mlp_ratio: int = 4
 
     @nn.compact
-    def __call__(self, x, *, training: bool = False):
+    def __call__(self, x, *, training: bool = False,
+                 kv_cache=None, cache_index=None):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -202,11 +210,29 @@ class QuantTransformerBlock(nn.Module):
         qkv = QuantDense(3 * d, self.qconfig, name="qkv")(y, training=training)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, h, hd), 3, axis=2)
         q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
-        mask = jnp.tril(jnp.ones((t, t), bool))
-        att = jnp.where(mask, att, -1e9)
-        att = jax.nn.softmax(att, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        new_kv = None
+        if kv_cache is None:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
+            mask = jnp.tril(jnp.ones((t, t), bool))
+            att = jnp.where(mask, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        else:
+            ck, cv = kv_cache
+            L = ck.shape[2]
+            idx = jnp.asarray(cache_index, jnp.int32)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, 0, idx, 0))
+            att = (jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype))
+                   / jnp.sqrt(float(hd)))
+            kpos = jnp.arange(L)[None, None, None, :]
+            qpos = (idx + jnp.arange(t))[None, None, :, None]
+            att = jnp.where(kpos <= qpos, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, cv.astype(q.dtype))
+            new_kv = (ck, cv)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
 
@@ -215,12 +241,20 @@ class QuantTransformerBlock(nn.Module):
                        name="mlp_up")(y, training=training)
         y = nn.gelu(y)
         y = QuantDense(d, self.qconfig, name="mlp_down")(y, training=training)
-        return x + y
+        out = x + y
+        if kv_cache is None:
+            return out
+        return out, new_kv
 
 
 class QuantTransformerLM(nn.Module):
     """Tiny causal LM: embedding → N quantized blocks → tied-free LM head.
-    Demonstrates QAT + serving on an autoregressive (tokens/s) workload."""
+    Demonstrates QAT + serving on an autoregressive (tokens/s) workload.
+
+    Decode mode: pass ``cache`` (a tuple of per-layer (k, v) pairs from
+    ``jaxlsq.serve.decode.init_kv_cache``) and ``cache_index``; returns
+    ``(logits, new_cache)``.  One compiled program covers every decode
+    position (static shapes, traced index)."""
 
     vocab: int
     dim: int
@@ -230,16 +264,31 @@ class QuantTransformerLM(nn.Module):
     max_len: int = 256
 
     @nn.compact
-    def __call__(self, tokens, *, training: bool = False):
+    def __call__(self, tokens, *, training: bool = False,
+                 cache=None, cache_index=None):
         b, t = tokens.shape
         tok = QuantEmbed(self.vocab, self.dim, self.qconfig,
                          name="tok_emb")(tokens, training=training)
         pos = self.param("pos_emb", nn.initializers.normal(0.02),
                          (self.max_len, self.dim))
-        x = tok + pos[None, :t]
+        if cache is None:
+            x = tok + pos[None, :t]
+        else:
+            idx = jnp.asarray(cache_index, jnp.int32)
+            x = tok + jax.lax.dynamic_slice_in_dim(pos, idx, t, 0)[None]
+        new_cache = []
         for i in range(self.depth):
-            x = QuantTransformerBlock(self.dim, self.num_heads, self.qconfig,
-                                      name=f"block{i}")(x, training=training)
+            block = QuantTransformerBlock(self.dim, self.num_heads,
+                                          self.qconfig, name=f"block{i}")
+            if cache is None:
+                x = block(x, training=training)
+            else:
+                x, kv = block(x, training=training,
+                              kv_cache=cache[i], cache_index=cache_index)
+                new_cache.append(kv)
         x = nn.LayerNorm(name="ln_f")(x)
-        return QuantDense(self.vocab, self.qconfig, use_bias=False,
-                          name="lm_head")(x, training=training)
+        logits = QuantDense(self.vocab, self.qconfig, use_bias=False,
+                            name="lm_head")(x, training=training)
+        if cache is None:
+            return logits
+        return logits, tuple(new_cache)

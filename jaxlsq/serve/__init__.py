@@ -7,9 +7,11 @@ handing qparams to ``torch.quantization.convert``, observers.py:403-422):
 * ``matmul``  — weight-only matmul with dequant fused into the epilogue
   (Pallas TPU kernel) + dynamic int8×int8 path.
 * ``convert`` — QAT variables → serving variables; TP sharding helpers.
+* ``decode``  — KV cache + prefill + scan-fused greedy generation.
 """
 
 from .convert import convert, shard_converted, shard_packed, serving_bits
+from .decode import init_kv_cache, make_generate, prefill
 from .engine import ServingEngine
 from .matmul import dynamic_int8_matmul, static_int8_matmul, wo_matmul
 from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
@@ -18,6 +20,7 @@ from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
 __all__ = [
     "convert", "shard_converted", "shard_packed", "serving_bits",
     "ServingEngine",
+    "init_kv_cache", "make_generate", "prefill",
     "dynamic_int8_matmul", "static_int8_matmul", "wo_matmul",
     "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",
     "unpack_int4",
