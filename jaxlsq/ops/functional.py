@@ -44,13 +44,16 @@ def _default_impl() -> str:
 
     Measured on TPU v5e (see bench.py): with output↔input aliasing on both
     kernels, the Pallas path and the XLA-fused golden path are at parity on
-    the isolated op (within ~1% of each other at ~0.8 of the HBM roofline —
+    the isolated op (within ~4% of each other at ~0.8 of the HBM roofline —
     both at the chip's achievable stream ceiling).  The golden path stays the
     default because INSIDE real models XLA additionally fuses the fake-quant
     into neighboring elementwise ops (bias/activation/norm), which an opaque
-    custom call cannot; ``impl='pallas'`` is the explicit option and the
-    blueprint for ops XLA cannot fuse (the serving-path quantized matmul
-    epilogues).
+    custom call cannot.  Measured in-model (steady-state QAT step,
+    interleaved min-of-rounds — docs/measurements/impl_auto_inmodel_tpu.json):
+    ResNet18-CIFAR B=64 6.29 ms (golden) vs 9.01 ms (pallas); transformer LM
+    d512×4 B=16 4.76 vs 4.85 ms.  ``impl='pallas'`` remains the explicit
+    option and the blueprint for ops XLA cannot fuse (the serving-path
+    quantized matmul epilogues, where Pallas DOES win — bench.py serve legs).
     """
     return "reference"
 
