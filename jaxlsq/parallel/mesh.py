@@ -56,9 +56,25 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def initialize_distributed() -> Tuple[int, int]:
-    """Multi-host bring-up: ``jax.distributed.initialize`` from env vars
-    (JAX coordinator conventions).  Single-host no-op.  Returns
-    (process_index, process_count)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """Multi-host bring-up: ``jax.distributed.initialize`` from env vars.
+
+    Conventions: ``JAX_COORDINATOR_ADDRESS`` triggers initialization; if
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` are set they are passed
+    explicitly (manual clusters — e.g. the two-process CPU test,
+    tests/test_distributed.py), otherwise JAX's cluster autodetection
+    (SLURM/GKE/TPU-pod metadata) fills them in.  Single-host no-op.
+    Returns (process_index, process_count)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        try:
+            jax.distributed.initialize(**kw)
+        except RuntimeError:
+            # Backend already up (interactive session / second call): a
+            # late initialize is impossible; proceed with what we have.
+            pass
     return jax.process_index(), jax.process_count()
