@@ -228,3 +228,38 @@ def test_vmap_batching_rule():
         np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
         g = jax.grad(lambda ss: jnp.sum(f(x, ss, b)))(s)
         assert g.shape == (4, 1) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fp16_input():
+    """fp16 inputs (reference CUDA dispatches half, lsq_cuda.cu:45): run,
+    keep dtype, stay finite, and agree with the f32 path to half precision —
+    both kernel impls (VERDICT r1 next-#9)."""
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    r = np.random.RandomState(0)
+    x16 = jnp.asarray(r.randn(16, 64), dtype=jnp.float16)
+    s, b = jnp.array([0.1]), jnp.array([0.05])
+    for impl in ("reference", "pallas"):
+        out = fake_quant(x16, s, b, spec, impl=impl)
+        assert out.dtype == jnp.float16
+        want = fake_quant(x16.astype(jnp.float32), s, b, spec, impl="reference")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_fp16_grads_accumulate_f32():
+    """fp16 grads through the custom VJP: dS/dB come back in the qparam dtype
+    (f32 accumulation — PARITY.md deviation 8), dX in fp16."""
+    import jax
+
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    r = np.random.RandomState(1)
+    x16 = jnp.asarray(r.randn(16, 64), dtype=jnp.float16)
+    s, b = jnp.array([0.1]), jnp.array([0.05])
+    for impl in ("reference", "pallas"):
+        def f(x, ss, bb):
+            return jnp.sum(fake_quant(x, ss, bb, spec, impl=impl)
+                           .astype(jnp.float32) ** 2)
+        dx, ds, db = jax.grad(f, argnums=(0, 1, 2))(x16, s, b)
+        assert dx.dtype == jnp.float16
+        assert ds.dtype == jnp.float32 and db.dtype == jnp.float32
+        assert np.isfinite(float(ds[0])) and np.isfinite(float(db[0]))

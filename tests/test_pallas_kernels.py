@@ -112,3 +112,21 @@ def test_functional_pallas_impl_end_to_end():
     np.testing.assert_allclose(float(val), float(val_r), rtol=1e-6)
     for a, b in zip(grads, grads_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_fp16_accumulates_f32():
+    """fp16 mirror of the bf16 test: dS partials accumulate in f32
+    (lsq_cuda.cu:45 dispatches half; we deviate by accumulating f32 —
+    PARITY.md deviation 8)."""
+    spec = QuantSpec(quant_min=0, quant_max=255)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 128), dtype=jnp.float16)
+    g = jnp.asarray(rng.randn(64, 128), dtype=jnp.float16)
+    scale, shift = jnp.array([0.1]), jnp.array([0.0])
+    dX, dS, dB = pk.pallas_backward(g, x, scale, shift, spec=spec, interpret=True)
+    assert dX.dtype == jnp.float16
+    assert dS.dtype == scale.dtype
+    eX, eS, eB = golden_backward(
+        g.astype(jnp.float32), x.astype(jnp.float32), scale, shift, spec)
+    np.testing.assert_allclose(float(dS[0]), float(eS[0]), rtol=2e-3)
+    np.testing.assert_allclose(float(dB[0]), float(eB[0]), rtol=2e-3, atol=1e-3)
