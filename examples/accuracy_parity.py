@@ -20,6 +20,7 @@ static activation quant) — the number that actually ships.
 
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -41,26 +42,31 @@ N_CLASSES = 10
 SIZE = 32
 
 
-def make_batch(rng: np.random.Generator, n: int):
-    """n oriented-grating images (n, 32, 32, 3) + labels (n,)."""
-    labels = rng.integers(0, N_CLASSES, n)
-    theta = labels * (np.pi / N_CLASSES) + rng.normal(0, 0.02, n)
-    freq = rng.uniform(2.0, 6.0, n)
-    phase = rng.uniform(0, 2 * np.pi, n)
-    amp = rng.uniform(0.5, 1.5, n)
-    yy, xx = np.mgrid[0:SIZE, 0:SIZE] / SIZE
-    u = (np.cos(theta)[:, None, None] * xx[None]
-         + np.sin(theta)[:, None, None] * yy[None])
-    g = amp[:, None, None] * np.sin(
+@functools.partial(jax.jit, static_argnums=1)
+def make_batch(key, n=128):
+    """n oriented-grating images (n, 32, 32, 3) + labels (n,) — generated ON
+    DEVICE (host→device image transfers over the remote-TPU tunnel cost more
+    than the train step itself; the task is procedural, so generate it where
+    it is consumed)."""
+    ks = jax.random.split(key, 8)
+    labels = jax.random.randint(ks[0], (n,), 0, N_CLASSES)
+    theta = (labels * (np.pi / N_CLASSES)
+             + 0.02 * jax.random.normal(ks[1], (n,)))
+    freq = jax.random.uniform(ks[2], (n,), minval=2.0, maxval=6.0)
+    phase = jax.random.uniform(ks[3], (n,), minval=0.0, maxval=2 * np.pi)
+    amp = jax.random.uniform(ks[4], (n,), minval=0.5, maxval=1.5)
+    xx = jnp.arange(SIZE)[None, :] / SIZE          # (1, S)
+    yy = jnp.arange(SIZE)[:, None] / SIZE          # (S, 1)
+    u = (jnp.cos(theta)[:, None, None] * xx[None]
+         + jnp.sin(theta)[:, None, None] * yy[None])
+    g = amp[:, None, None] * jnp.sin(
         2 * np.pi * freq[:, None, None] * u + phase[:, None, None])
-    # random background gradient + channel tints + noise
-    gx = rng.normal(0, 0.5, (n, 1, 1))
-    gy = rng.normal(0, 0.5, (n, 1, 1))
-    bg = gx * xx[None] + gy * yy[None]
-    img = g + bg
-    tint = rng.uniform(0.7, 1.3, (n, 1, 1, 3))
-    img = img[..., None] * tint + rng.normal(0, 0.3, (n, SIZE, SIZE, 3))
-    return img.astype(np.float32), labels.astype(np.int32)
+    gxy = 0.5 * jax.random.normal(ks[5], (n, 2, 1, 1))
+    bg = gxy[:, 0] * xx[None] + gxy[:, 1] * yy[None]
+    tint = jax.random.uniform(ks[6], (n, 1, 1, 3), minval=0.7, maxval=1.3)
+    img = ((g + bg)[..., None] * tint
+           + 0.3 * jax.random.normal(ks[7], (n, SIZE, SIZE, 3)))
+    return img.astype(jnp.float32), labels.astype(jnp.int32)
 
 
 def qconfigs():
@@ -73,22 +79,20 @@ def qconfigs():
 
 
 def run_one(model_fn, name, steps, batch_size, seed, results):
-    test_rng = np.random.default_rng(10_000 + seed)
-    test_x, test_y = make_batch(test_rng, 2000)
-    test_x, test_y = jnp.asarray(test_x), jnp.asarray(test_y)
+    test_x, test_y = make_batch(jax.random.key(10_000 + seed), 2000)
 
     for cfg_name, qc in qconfigs().items():
-        rng = np.random.default_rng(seed)
+        key = jax.random.key(seed)  # same data sequence for every config
         model = model_fn(qc)
         tx = optax.adamw(optax.cosine_decay_schedule(3e-3, steps))
-        x0, y0 = make_batch(rng, batch_size)
-        state = create_train_state(model, tx, jnp.asarray(x0))
+        x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
+        state = create_train_state(model, tx, x0)
         step = make_train_step(model, tx)
         t0 = time.time()
         for i in range(steps):
-            bx, by = make_batch(rng, batch_size)
-            state, metrics = step(state, {"input": jnp.asarray(bx),
-                                          "label": jnp.asarray(by)})
+            key, sub = jax.random.split(key)
+            bx, by = make_batch(sub, batch_size)
+            state, metrics = step(state, {"input": bx, "label": by})
         loss = float(metrics["loss"])
         dt = time.time() - t0
 

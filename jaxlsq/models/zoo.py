@@ -221,14 +221,26 @@ class QuantTransformerBlock(nn.Module):
             ck, cv = kv_cache
             L = ck.shape[2]
             idx = jnp.asarray(cache_index, jnp.int32)
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, 0, idx, 0))
+            if idx.ndim == 0:
+                # one shared position (prefill / lockstep decode)
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                                  (0, 0, idx, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                                  (0, 0, idx, 0))
+                qpos = (idx + jnp.arange(t))[None, None, :, None]
+            else:
+                # per-slot positions, shape (B,): continuous batching — each
+                # request in the batch sits at its own decode depth.  The
+                # vmapped dynamic_update_slice lowers to a per-slot scatter.
+                upd = jax.vmap(
+                    lambda c, new, i: jax.lax.dynamic_update_slice(
+                        c, new, (0, i, 0)))
+                ck = upd(ck, k.astype(ck.dtype), idx)
+                cv = upd(cv, v.astype(cv.dtype), idx)
+                qpos = (idx[:, None] + jnp.arange(t))[:, None, :, None]
             att = (jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype))
                    / jnp.sqrt(float(hd)))
             kpos = jnp.arange(L)[None, None, None, :]
-            qpos = (idx + jnp.arange(t))[None, None, :, None]
             att = jnp.where(kpos <= qpos, att, -1e9)
             att = jax.nn.softmax(att, axis=-1)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, cv.astype(q.dtype))
@@ -275,7 +287,11 @@ class QuantTransformerLM(nn.Module):
             x = tok + pos[None, :t]
         else:
             idx = jnp.asarray(cache_index, jnp.int32)
-            x = tok + jax.lax.dynamic_slice_in_dim(pos, idx, t, 0)[None]
+            if idx.ndim == 0:
+                x = tok + jax.lax.dynamic_slice_in_dim(pos, idx, t, 0)[None]
+            else:  # per-slot positions (B,) → gather a (B, t, dim) pos slice
+                positions = idx[:, None] + jnp.arange(t)[None, :]
+                x = tok + jnp.take(pos, positions, axis=0)
         new_cache = []
         for i in range(self.depth):
             block = QuantTransformerBlock(self.dim, self.num_heads,

@@ -11,7 +11,7 @@ handing qparams to ``torch.quantization.convert``, observers.py:403-422):
 """
 
 from .convert import convert, shard_converted, shard_packed, serving_bits
-from .decode import init_kv_cache, make_generate, prefill
+from .decode import DecodeEngine, init_kv_cache, make_generate, prefill
 from .engine import ServingEngine
 from .matmul import dynamic_int8_matmul, static_int8_matmul, wo_matmul
 from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
@@ -20,7 +20,7 @@ from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
 __all__ = [
     "convert", "shard_converted", "shard_packed", "serving_bits",
     "ServingEngine",
-    "init_kv_cache", "make_generate", "prefill",
+    "DecodeEngine", "init_kv_cache", "make_generate", "prefill",
     "dynamic_int8_matmul", "static_int8_matmul", "wo_matmul",
     "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",
     "unpack_int4",

@@ -25,12 +25,17 @@ TPU design notes:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["init_kv_cache", "prefill", "make_generate"]
+__all__ = ["init_kv_cache", "prefill", "make_generate", "DecodeEngine"]
 
 
 def init_kv_cache(model, batch_size: int, *, dtype=jnp.float32,
@@ -108,3 +113,203 @@ def make_generate(model, prompt_len: int, n_new: int, *,
         return jnp.concatenate([first[:, None], rest.T], axis=1)
 
     return jax.jit(generate) if jit else generate
+
+
+# ---------------------------------------------------------------------------
+# Token-level continuous batching
+# ---------------------------------------------------------------------------
+
+class _GenRequest:
+    __slots__ = ("prompt", "n_new", "future", "tokens", "slot")
+
+    def __init__(self, prompt: np.ndarray, n_new: int):
+        self.prompt = prompt
+        self.n_new = n_new
+        self.future: Future = Future()
+        self.tokens: list = []
+        self.slot = -1
+
+
+class DecodeEngine:
+    """Iteration-level (token-level) continuous batching for autoregressive
+    generation — the serving discipline the request-level ``ServingEngine``
+    cannot express: new requests JOIN the running batch at the next token
+    boundary instead of waiting for the whole batch to finish.
+
+    TPU-native design (all static shapes; two compiled programs total plus
+    one prefill program per prompt-length bucket):
+
+    * One global KV cache of fixed shape (max_batch, H, max_len, hd) per
+      layer.  Each batch slot holds one request at its own decode depth —
+      the model's vector ``cache_index`` path (models/zoo.py) masks each
+      slot's attention to its own [0, pos) prefix.
+    * ``prefill``: the prompt is right-padded to a length bucket and run at
+      B=1; the padded rows write garbage k/v BEYOND the true length, which
+      is provably never read — decode at position p attends kpos <= p and
+      overwrites row p before attending to it, so garbage rows are always
+      overwritten before first exposure.  The slot's cache is written into
+      the global cache in the same compiled program.
+    * ``decode step``: one program advances ALL active slots one token
+      (argmax).  Free slots run parked at max_len-1 (same
+      overwrite-before-read argument); their output tokens are ignored.
+    * The host loop (dispatcher thread) only admits/retires requests and
+      relays tokens — everything shape-dependent is compiled once.
+
+    Args:
+      model: a ``QuantTransformerLM``-shaped module (QAT or serve mode).
+      variables: its (possibly converted + sharded) variables.
+      max_batch: number of concurrent decode slots.
+      prompt_buckets: ascending prompt-length buckets (one compiled prefill
+        per bucket); prompts longer than the largest bucket are rejected.
+      cache_dtype: KV cache dtype (bf16 halves cache traffic).
+      max_wait_ms: dispatcher sleep when completely idle.
+    """
+
+    def __init__(self, model, variables, *, max_batch: int = 8,
+                 prompt_buckets: Sequence[int] = (32, 128),
+                 cache_dtype=jnp.float32, max_wait_ms: float = 2.0):
+        self.model = model
+        self.variables = variables
+        self.max_batch = max_batch
+        self.buckets = sorted(prompt_buckets)
+        self.max_len = model.max_len
+        self._cache = init_kv_cache(model, max_batch, dtype=cache_dtype)
+        self._pos = jnp.full((max_batch,), self.max_len - 1, jnp.int32)
+        self._tok = jnp.zeros((max_batch,), jnp.int32)
+
+        def _prefill_insert(variables, cache, prompt, true_len, slot):
+            """Run one padded prompt, write its k/v into global-cache slot
+            ``slot``, return (cache', first greedy token)."""
+            slot_cache = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
+            logits, slot_cache = self.model.apply(
+                variables, prompt, cache=slot_cache,
+                cache_index=jnp.zeros((), jnp.int32))
+            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            first = jnp.argmax(last, -1).astype(jnp.int32)
+            new_cache = jax.tree.map(
+                lambda g, s: jax.lax.dynamic_update_slice(
+                    g, s.astype(g.dtype),
+                    (slot,) + (0,) * (g.ndim - 1)),
+                cache, slot_cache)
+            return new_cache, first
+
+        def _step(variables, cache, toks, pos):
+            logits, cache = self.model.apply(
+                variables, toks[:, None], cache=cache, cache_index=pos)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return cache, nxt, jnp.minimum(pos + 1, self.max_len - 1)
+
+        self._prefill_fn = jax.jit(_prefill_insert, donate_argnums=(1,))
+        self._step_fn = jax.jit(_step, donate_argnums=(1,))
+
+        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
+        self._slots: list = [None] * max_batch
+        self._lifecycle_lock = threading.Lock()
+        self._stop = False
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
+                      "active_token_sum": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, prompt, n_new: int) -> Future:
+        """Queue one generation request; Future resolves to an (n_new,) int32
+        array of greedily decoded tokens."""
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim != 1 or prompt.size == 0:
+            raise ValueError("prompt must be a non-empty 1-D token array")
+        if prompt.size > self.buckets[-1]:
+            raise ValueError(
+                f"prompt length {prompt.size} exceeds the largest bucket "
+                f"{self.buckets[-1]}")
+        if prompt.size + n_new > self.max_len:
+            raise ValueError("prompt + n_new exceeds model.max_len")
+        req = _GenRequest(prompt, n_new)
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError("DecodeEngine is closed")
+            self._queue.put(req)
+        return req.future
+
+    def close(self):
+        with self._lifecycle_lock:
+            self._stop = True
+        self._thread.join(timeout=30)
+        for req in list(self._slots) + self._drain_queue():
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("DecodeEngine closed"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------- dispatcher
+
+    def _drain_queue(self):
+        out = []
+        while True:
+            try:
+                out.append(self._queue.get_nowait())
+            except queue.Empty:
+                return out
+
+    def _admit(self, req: _GenRequest, slot: int):
+        b = next(b for b in self.buckets if b >= req.prompt.size)
+        padded = np.zeros((1, b), np.int32)
+        padded[0, : req.prompt.size] = req.prompt
+        self._cache, first = self._prefill_fn(
+            self.variables, self._cache, jnp.asarray(padded),
+            req.prompt.size, slot)
+        self._tok = self._tok.at[slot].set(first)
+        self._pos = self._pos.at[slot].set(req.prompt.size)
+        req.tokens.append(int(first))
+        req.slot = slot
+        self._slots[slot] = req
+        self.stats["requests"] += 1
+
+    def _retire_done(self):
+        for slot, req in enumerate(self._slots):
+            if req is not None and len(req.tokens) >= req.n_new:
+                req.future.set_result(np.asarray(req.tokens[: req.n_new],
+                                                 np.int32))
+                self._slots[slot] = None
+                # park the freed slot
+                self._pos = self._pos.at[slot].set(self.max_len - 1)
+
+    def _loop(self):
+        while True:
+            if self._stop:
+                return
+            # admit into free slots at the token boundary
+            for slot in range(self.max_batch):
+                if self._slots[slot] is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit(req, slot)
+                    except Exception as e:  # pragma: no cover
+                        req.future.set_exception(e)
+            self._retire_done()
+            active = [s for s in self._slots if s is not None]
+            if not active:
+                time.sleep(self.max_wait_s)
+                continue
+            self._cache, nxt, self._pos = self._step_fn(
+                self.variables, self._cache, self._tok, self._pos)
+            self._tok = nxt
+            toks = np.asarray(nxt)
+            for slot, req in enumerate(self._slots):
+                if req is not None and len(req.tokens) < req.n_new:
+                    req.tokens.append(int(toks[slot]))
+            self.stats["steps"] += 1
+            self.stats["slot_tokens"] += self.max_batch
+            self.stats["active_token_sum"] += len(active)
+            self._retire_done()

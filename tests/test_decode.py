@@ -3,6 +3,7 @@ forward's logits (VERDICT r1 next-#2), in both QAT and serve mode, and the
 scan-fused greedy generator must agree with a Python-loop decode."""
 
 import dataclasses
+import time
 
 import numpy as np
 import pytest
@@ -147,3 +148,81 @@ def test_engine_serves_generate():
         assert o.shape == (3,)
         want = np.asarray(gen(sv, jnp.asarray(p)[None]))[0]
         np.testing.assert_array_equal(o, want)
+
+
+class TestDecodeEngine:
+    """Token-level continuous batching (DecodeEngine): staggered requests of
+    different prompt lengths and generation lengths join the running batch at
+    token boundaries and still reproduce the lockstep greedy decode."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        model = _lm(qc)
+        r = np.random.RandomState(5)
+        variables = model.init(jax.random.key(2),
+                               jnp.asarray(r.randint(0, VOCAB, (1, 8))),
+                               training=False)
+        variables = disable_observer(variables)
+        return model, variables
+
+    def _reference_tokens(self, model, variables, prompt, n_new):
+        from jaxlsq.serve.decode import prefill
+
+        last, cache, idx = prefill(model, variables,
+                                   jnp.asarray(prompt)[None])
+        tok = jnp.argmax(last, -1).astype(jnp.int32)
+        toks = [int(tok[0])]
+        for _ in range(n_new - 1):
+            logits, cache = model.apply(variables, tok[:, None], cache=cache,
+                                        cache_index=idx)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+            idx = idx + 1
+        return np.asarray(toks[:n_new], np.int32)
+
+    def test_staggered_requests_match_lockstep(self, setup):
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables = setup
+        r = np.random.RandomState(6)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 7)), int(r.randint(2, 6)))
+                for _ in range(7)]
+        with DecodeEngine(model, variables, max_batch=3,
+                          prompt_buckets=(4, 8)) as eng:
+            futs = []
+            for i, (p, n) in enumerate(reqs):
+                futs.append(eng.submit(p, n))
+                if i % 2 == 0:
+                    time.sleep(0.05)  # land mid-flight of earlier requests
+            outs = [f.result(timeout=300) for f in futs]
+            stats = dict(eng.stats)
+        assert stats["requests"] == len(reqs)
+        for (p, n), got in zip(reqs, outs):
+            want = self._reference_tokens(model, variables, p, n)
+            np.testing.assert_array_equal(got, want)
+
+    def test_more_requests_than_slots(self, setup):
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables = setup
+        r = np.random.RandomState(7)
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4,)) as eng:
+            futs = [eng.submit(r.randint(0, VOCAB, size=3), 3)
+                    for _ in range(6)]
+            outs = [f.result(timeout=300) for f in futs]
+        assert all(o.shape == (3,) for o in outs)
+
+    def test_rejects_oversized(self, setup):
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables = setup
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4,)) as eng:
+            with pytest.raises(ValueError, match="bucket"):
+                eng.submit(np.zeros(9, np.int32), 2)
+            with pytest.raises(ValueError, match="max_len"):
+                eng.submit(np.zeros(4, np.int32), MAXLEN)
