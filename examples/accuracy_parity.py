@@ -2,9 +2,9 @@
 8-bit on ResNet/MobileNet-class models; 4-bit reported alongside).
 
 No dataset is fetchable in this environment (zero egress), so the task is a
-procedurally generated 10-class oriented-grating problem: each image is a
-sinusoidal grating whose ORIENTATION encodes the class (10 orientations over
-[0, pi)), with per-sample random frequency, phase, amplitude, spatial jitter,
+procedurally generated 24-class oriented-grating problem: each image is a
+sinusoidal grating whose ORIENTATION encodes the class (24 orientations over
+[0, pi), 7.5 degrees apart), with per-sample random frequency, phase, amplitude, spatial jitter,
 a random background gradient, and additive noise.  Orientation is the only
 discriminative feature, so the task is fine-grained enough that precision
 loss can actually cost accuracy (unlike blob-classification toys).
@@ -38,7 +38,7 @@ from jaxlsq.models.zoo import mobilenetv2_cifar, resnet18_cifar
 from jaxlsq.parallel import create_train_state, make_train_step
 from jaxlsq.serve import convert
 
-N_CLASSES = 10
+N_CLASSES = 24
 SIZE = 32
 
 
@@ -54,7 +54,7 @@ def make_batch(key, n=128):
              + 0.02 * jax.random.normal(ks[1], (n,)))
     freq = jax.random.uniform(ks[2], (n,), minval=2.0, maxval=6.0)
     phase = jax.random.uniform(ks[3], (n,), minval=0.0, maxval=2 * np.pi)
-    amp = jax.random.uniform(ks[4], (n,), minval=0.5, maxval=1.5)
+    amp = jax.random.uniform(ks[4], (n,), minval=0.25, maxval=1.0)
     xx = jnp.arange(SIZE)[None, :] / SIZE          # (1, S)
     yy = jnp.arange(SIZE)[:, None] / SIZE          # (S, 1)
     u = (jnp.cos(theta)[:, None, None] * xx[None]
@@ -65,7 +65,7 @@ def make_batch(key, n=128):
     bg = gxy[:, 0] * xx[None] + gxy[:, 1] * yy[None]
     tint = jax.random.uniform(ks[6], (n, 1, 1, 3), minval=0.7, maxval=1.3)
     img = ((g + bg)[..., None] * tint
-           + 0.3 * jax.random.normal(ks[7], (n, SIZE, SIZE, 3)))
+           + 1.0 * jax.random.normal(ks[7], (n, SIZE, SIZE, 3)))
     return img.astype(jnp.float32), labels.astype(jnp.int32)
 
 
@@ -87,13 +87,32 @@ def run_one(model_fn, name, steps, batch_size, seed, results):
         tx = optax.adamw(optax.cosine_decay_schedule(3e-3, steps))
         x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
         state = create_train_state(model, tx, x0)
-        step = make_train_step(model, tx)
+        raw_step = make_train_step(model, tx, jit=False)
+
+        # Whole chunks of training fused into one device program (lax.scan):
+        # per-step dispatch over the remote-TPU tunnel costs more than the
+        # step itself (~0.6 s vs ~10 ms measured), so 1500 host dispatches
+        # become 6.
+        CHUNK = min(250, steps)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run_chunk(carry):
+            def body(c, _):
+                state, key = c
+                key, sub = jax.random.split(key)
+                bx, by = make_batch(sub, batch_size)
+                state, metrics = raw_step(state, {"input": bx, "label": by})
+                return (state, key), metrics["loss"]
+            (state, key), losses = jax.lax.scan(body, carry, None,
+                                                length=CHUNK)
+            return (state, key), losses[-1]
+
         t0 = time.time()
-        for i in range(steps):
-            key, sub = jax.random.split(key)
-            bx, by = make_batch(sub, batch_size)
-            state, metrics = step(state, {"input": bx, "label": by})
-        loss = float(metrics["loss"])
+        carry = (state, key)
+        for _ in range(max(1, steps // CHUNK)):
+            carry, last_loss = run_chunk(carry)
+        state = carry[0]
+        loss = float(last_loss)
         dt = time.time() - t0
 
         variables = {**state.params, **state.model_state}
@@ -127,7 +146,7 @@ def main():
     args = ap.parse_args()
 
     results = {
-        "task": ("procedural 10-orientation grating classification, 32x32x3; "
+        "task": ("procedural 24-orientation grating classification, 32x32x3; "
                  "orientation is the only discriminative feature (random "
                  "freq/phase/amp/background/noise)"),
         "train": f"{args.steps} steps x B{args.batch}, adamw cosine 3e-3",

@@ -195,8 +195,10 @@ class QuantConv(nn.Module):
         in_feat = x.shape[-1] // self.feature_group_count
         if self.qconfig.mode == "serve":
             # Weight-only conv: int-packed kernel dequantized on the fly (the
-            # HBM win is the 4-8x smaller weight stream; conv compute stays
-            # float — convs are activation-bound, unlike the dense path).
+            # HBM win is the 4-8x smaller weight stream).  act_mode
+            # 'static_int8' instead runs the true int8*int8 integer conv
+            # with the dequant epilogue (serve/matmul.static_int8_conv).
+            from ..serve.matmul import static_int8_conv
             from ..serve.pack import dequantize_weight
 
             if self.qconfig.act_mode == "dynamic":
@@ -213,17 +215,33 @@ class QuantConv(nn.Module):
             packed = self.variable(
                 "quantized", "kernel",
                 lambda: _dummy_packed(kshape, wspec, 3)).value
+            strides = ((self.strides, self.strides)
+                       if isinstance(self.strides, int)
+                       else tuple(self.strides))
             if self.qconfig.activation is not None:
                 c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
                 ascale = self.variable("quantized", "act_scale",
                                        lambda: jnp.ones((c,), jnp.float32)).value
                 azp = self.variable("quantized", "act_zp",
                                     lambda: jnp.zeros((c,), jnp.int32)).value
+                aspec = self.qconfig.activation.spec
+                if (self.qconfig.act_mode == "static_int8"
+                        and packed.bits == 8 and wspec.symmetric
+                        and not aspec.per_channel):
+                    y = static_int8_conv(
+                        x, packed, ascale, azp, aspec.quant_min,
+                        aspec.quant_max, strides=strides,
+                        padding=self.padding,
+                        feature_group_count=self.feature_group_count)
+                    if self.use_bias:
+                        bias = self.param("bias", self.bias_init,
+                                          (self.features,))
+                        y = y + bias
+                    return y.astype(self.dtype or x.dtype)
                 if self.qconfig.act_mode in ("static", "static_int8"):
-                    # convs run the float-simulated static path (conv compute
-                    # is activation-bound; dense layers get the int8*int8 dot)
-                    x = _static_act_quant(x, ascale, azp,
-                                          self.qconfig.activation.spec)
+                    # float-simulated fallback (per-channel act qparams,
+                    # affine or int4 weights)
+                    x = _static_act_quant(x, ascale, azp, aspec)
             kernel = dequantize_weight(packed, x.dtype)
         else:
             acfg = self.qconfig.activation_for_axis(x.ndim - 1)

@@ -71,6 +71,7 @@ def make_train_step(
     loss_fn: Callable = cross_entropy_loss,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    jit: bool = True,
 ):
     """Build a jitted QAT train step: (state, batch) → (state, metrics).
 
@@ -78,6 +79,11 @@ def make_train_step(
     model) and whatever ``loss_fn`` needs.  With ``mesh``, the batch is
     expected sharded over 'data' (use ``shard_batch``) and the state
     replicated; XLA handles the collectives.
+
+    ``jit=False`` returns the raw step for composition inside an outer
+    ``lax.scan``/jit — e.g. a whole-epoch device loop, which matters on
+    remote-dispatch backends where per-step dispatch latency would dominate
+    (examples/accuracy_parity.py fuses 250 steps per dispatch this way).
     """
 
     def step(state: QATTrainState, batch):
@@ -108,6 +114,8 @@ def make_train_step(
         metrics = {"loss": loss}
         return new_state, metrics
 
+    if not jit:
+        return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 

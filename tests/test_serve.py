@@ -512,3 +512,86 @@ def test_serve_mode_requires_weight_quantizer():
     layer = QuantDense(features=4, qconfig=qc)
     with pytest.raises(ValueError, match="weight quantizer"):
         layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+
+
+def test_static_int8_conv_matches_float_simulated():
+    """static_int8_conv (integer conv + dequant epilogue) must agree with the
+    float-simulated static path to f32 rounding, including SAME padding
+    (integer zp => padded positions contribute exactly 0) and strides."""
+    from jaxlsq.serve.matmul import static_int8_conv
+    from jaxlsq.serve.pack import dequantize_weight
+
+    r = np.random.RandomState(0)
+    wspec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                           axis=3)
+    kh, kw, cin, cout = 3, 3, 8, 16
+    w = jnp.asarray(0.1 * r.randn(kh, kw, cin, cout).astype(np.float32))
+    wscale = jnp.asarray((0.002 + 0.001 * r.rand(cout)).astype(np.float32))
+    packed = quantize_weight(w, wscale, jnp.zeros((cout,)), wspec, bits=8)
+
+    aspec = QuantSpec.make(8, signed=False)  # quint8-style [0, 255-ish]
+    x = jnp.asarray(r.randn(2, 10, 10, cin).astype(np.float32))
+    ascale = jnp.asarray([0.05], jnp.float32)
+    azp = jnp.asarray([7], jnp.int32)
+
+    for strides, padding in [((1, 1), "SAME"), ((2, 2), "SAME"),
+                             ((1, 1), "VALID")]:
+        got = static_int8_conv(x, packed, ascale, azp, aspec.quant_min,
+                               aspec.quant_max, strides=strides,
+                               padding=padding)
+        # float-simulated reference: fake-quant acts, conv vs dequant weights
+        from jaxlsq.models.layers import _static_act_quant
+
+        xs = _static_act_quant(x, ascale, azp, aspec)
+        want = jax.lax.conv_general_dilated(
+            xs, dequantize_weight(packed), window_strides=strides,
+            padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_static_int8_conv_grouped():
+    """Depthwise/grouped conv epilogue: per-output-channel wsum covers only
+    that group's input channels."""
+    from jaxlsq.serve.matmul import static_int8_conv
+    from jaxlsq.serve.pack import dequantize_weight
+    from jaxlsq.models.layers import _static_act_quant
+
+    r = np.random.RandomState(1)
+    wspec = QuantSpec.make(8, signed=True, symmetric=True, per_channel=True,
+                           axis=3)
+    cin = 8
+    w = jnp.asarray(0.1 * r.randn(3, 3, 1, cin).astype(np.float32))
+    wscale = jnp.asarray((0.002 + 0.001 * r.rand(cin)).astype(np.float32))
+    packed = quantize_weight(w, wscale, jnp.zeros((cin,)), wspec, bits=8)
+    aspec = QuantSpec.make(8, signed=False)
+    x = jnp.asarray(r.randn(2, 6, 6, cin).astype(np.float32))
+    ascale, azp = jnp.asarray([0.04], jnp.float32), jnp.asarray([3], jnp.int32)
+    got = static_int8_conv(x, packed, ascale, azp, aspec.quant_min,
+                           aspec.quant_max, feature_group_count=cin)
+    xs = _static_act_quant(x, ascale, azp, aspec)
+    want = jax.lax.conv_general_dilated(
+        xs, dequantize_weight(packed), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=cin,
+        preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quant_cnn_static_int8_serving_end_to_end():
+    """QuantCNN converted with act_mode='static_int8': conv layers take the
+    integer conv path and logits match the float-simulated static path."""
+    qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=1)
+    model = QuantCNN(num_classes=4, qconfig=qc, widths=(8, 16))
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(2, 16, 16, 3).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, training=False)
+    sv = convert(variables, qc)
+    m_int = dataclasses.replace(model,
+                                qconfig=qc.for_serving("static_int8", "xla"))
+    m_sim = dataclasses.replace(model, qconfig=qc.for_serving("static", "xla"))
+    got = m_int.apply(sv, x, training=False)
+    want = m_sim.apply(sv, x, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
