@@ -226,3 +226,34 @@ class TestDecodeEngine:
                 eng.submit(np.zeros(9, np.int32), 2)
             with pytest.raises(ValueError, match="max_len"):
                 eng.submit(np.zeros(4, np.int32), MAXLEN)
+
+
+def test_decode_engine_tp_sharded(qat_setup):
+    """Token-level continuous batching over TENSOR-PARALLEL serving variables:
+    the engine is placement-agnostic — with shard_converted weights on a
+    (1, model) mesh, jit partitions the decode/prefill programs and outputs
+    must match the unsharded engine exactly."""
+    from jaxlsq.parallel import make_mesh
+    from jaxlsq.serve import shard_converted
+    from jaxlsq.serve.decode import DecodeEngine
+
+    model, variables, tokens, qc = qat_setup
+    sv = convert(variables, qc)
+    sm = _lm(qc.for_serving("none", "xla"))
+    mesh = make_mesh(data=1, model=4)
+    sv_tp = shard_converted(sv, mesh)
+
+    r = np.random.RandomState(11)
+    prompts = [r.randint(0, VOCAB, size=5) for _ in range(4)]
+
+    def run(variables):
+        with DecodeEngine(sm, variables, max_batch=2,
+                          prompt_buckets=(8,)) as eng:
+            futs = [eng.submit(p, 4) for p in prompts]
+            return [f.result(timeout=300) for f in futs]
+
+    plain = run(sv)
+    with mesh:
+        sharded = run(sv_tp)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_array_equal(a, b)
