@@ -340,10 +340,19 @@ def _resolve_interpret(interpret) -> bool:
 
 def pallas_forward(x, scale, shift, *, spec: QuantSpec, init_mode: bool = False,
                    interpret: Optional[bool] = None):
-    """Fake-quant forward via Pallas (lsq_kernel.h:6-14 semantics)."""
+    """Fake-quant forward via Pallas (lsq_kernel.h:6-14 semantics).
+
+    fp16 inputs are computed at f32 in-kernel (Mosaic on v5e fails to
+    compile f16 vector code; the boundary converts fuse into neighboring
+    XLA ops) — consistent with the f32-accumulation deviation for low
+    precision (PARITY.md deviation 8)."""
     interpret = _resolve_interpret(interpret)
     if init_mode:
         return x  # identity (lsq_kernel.h:13)
+    if x.dtype == jnp.float16:
+        out = pallas_forward(x.astype(jnp.float32), scale, shift, spec=spec,
+                             interpret=interpret)
+        return out.astype(jnp.float16)
     if spec.per_channel:
         return _pc_forward(x, scale, shift, spec, interpret)
     return _pt_forward(x, scale, shift, spec, interpret)
@@ -416,8 +425,16 @@ def pallas_backward(grad, x, scale, shift, *, spec: QuantSpec,
     Returns (dX, dS, dB) with dS/dB already reduced to qparam shape, matching
     golden_backward (and the reference's post-kernel sum reductions,
     lsq_cpu.cpp:138-139, 287-293 — done here as in-kernel partials + tiny sum).
+
+    fp16 runs at f32 in-kernel with dX cast back (see pallas_forward).
     """
     interpret = _resolve_interpret(interpret)
+    if grad.dtype == jnp.float16 or x.dtype == jnp.float16:
+        dX, dS, dB = pallas_backward(
+            grad.astype(jnp.float32), x.astype(jnp.float32), scale, shift,
+            spec=spec, eval_mode=eval_mode, init_mode=init_mode, numel=numel,
+            interpret=interpret)
+        return dX.astype(jnp.float16), dS, dB
     if spec.per_channel:
         return _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode,
                             numel, interpret)
@@ -652,6 +669,11 @@ def _flags_smem(eval_flag, init_flag) -> jnp.ndarray:
 def pallas_forward_traced(x, scale, shift, *, spec: QuantSpec, eval_flag,
                           init_flag, interpret: Optional[bool] = None):
     interpret = _resolve_interpret(interpret)
+    if x.dtype == jnp.float16:  # f32 in-kernel, see pallas_forward
+        out = pallas_forward_traced(
+            x.astype(jnp.float32), scale, shift, spec=spec,
+            eval_flag=eval_flag, init_flag=init_flag, interpret=interpret)
+        return out.astype(jnp.float16)
     flags = _flags_smem(eval_flag, init_flag)
     if spec.per_channel:
         x2d, rows, c = _to_rows_channels(x, spec.axis)
@@ -701,6 +723,12 @@ def pallas_backward_traced(grad, x, scale, shift, *, spec: QuantSpec,
                            eval_flag, init_flag, numel: Optional[int] = None,
                            interpret: Optional[bool] = None):
     interpret = _resolve_interpret(interpret)
+    if grad.dtype == jnp.float16 or x.dtype == jnp.float16:
+        dX, dS, dB = pallas_backward_traced(
+            grad.astype(jnp.float32), x.astype(jnp.float32), scale, shift,
+            spec=spec, eval_flag=eval_flag, init_flag=init_flag, numel=numel,
+            interpret=interpret)
+        return dX.astype(jnp.float16), dS, dB
     flags = _flags_smem(eval_flag, init_flag)
     if spec.per_channel:
         g2d, rows, c = _to_rows_channels(grad, spec.axis)
