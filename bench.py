@@ -145,7 +145,11 @@ def bench_decode():
     from jaxlsq.serve import convert, make_generate
 
     VOCAB, DIM, DEPTH, HEADS, T0 = 8192, 1024, 4, 16, 32
-    N1, N2 = 8, 24
+    # Long runs: the ~30 ms fixed dispatch/sync cost of one generate() call
+    # over the remote tunnel swamps short deltas (measured: 16-token slopes
+    # are noise); a 192-token delta puts ~15-60 ms of pure decode between
+    # the two points.
+    N1, N2 = 16, 208
     qc = default_qconfig(8, 8, init_batches=1)
     model = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=DEPTH,
                                num_heads=HEADS, qconfig=qc, max_len=T0 + N2)
@@ -166,7 +170,7 @@ def bench_decode():
             g2 = make_generate(mdl, T0, N2, cache_dtype=jnp.bfloat16)
             np.asarray(g1(var, prompt)); np.asarray(g2(var, prompt))  # warm
             t1s, t2s = [], []
-            for _ in range(5):
+            for _ in range(4):
                 t0 = time.perf_counter(); np.asarray(g1(var, prompt))
                 t1s.append(time.perf_counter() - t0)
                 t0 = time.perf_counter(); np.asarray(g2(var, prompt))
@@ -241,7 +245,7 @@ def main():
 
     # More rounds = more chances to catch an uncontended tenancy window
     # (min-of-rounds); the marginal cost is ~2 s/round.
-    rounds = 14 if on_tpu else 3
+    rounds = 20 if on_tpu else 3
     rec = {impl: ([], []) for impl in impls}
     srec = ([], [])
     for _ in range(rounds):
