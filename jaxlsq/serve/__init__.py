@@ -11,7 +11,8 @@ handing qparams to ``torch.quantization.convert``, observers.py:403-422):
 """
 
 from .convert import convert, shard_converted, shard_packed, serving_bits
-from .decode import DecodeEngine, init_kv_cache, make_generate, prefill
+from .decode import (DecodeEngine, init_kv_cache, make_generate,
+                     make_sampler, prefill)
 from .engine import ServingEngine
 from .matmul import (dynamic_int8_matmul, static_int8_conv,
                      static_int8_matmul, wo_matmul)
@@ -21,7 +22,8 @@ from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
 __all__ = [
     "convert", "shard_converted", "shard_packed", "serving_bits",
     "ServingEngine",
-    "DecodeEngine", "init_kv_cache", "make_generate", "prefill",
+    "DecodeEngine", "init_kv_cache", "make_generate", "make_sampler",
+    "prefill",
     "dynamic_int8_matmul", "static_int8_conv", "static_int8_matmul",
     "wo_matmul",
     "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",

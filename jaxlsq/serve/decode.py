@@ -35,7 +35,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["init_kv_cache", "prefill", "make_generate", "DecodeEngine"]
+__all__ = ["init_kv_cache", "prefill", "make_generate", "make_sampler",
+           "DecodeEngine"]
+
+
+def make_sampler(temperature: float = 1.0, top_k: Optional[int] = None):
+    """Build a ``logits_to_token`` sampler for :func:`make_generate` /
+    :class:`DecodeEngine`: temperature + optional top-k, driven by a key
+    folded from a counter so the whole decode stays one compiled program.
+
+    Returns ``pick(logits, key) -> (B,) int32``; temperature 0 ⇒ greedy.
+    """
+    if temperature <= 0.0:
+        return lambda logits, key=None: jnp.argmax(logits, -1).astype(jnp.int32)
+
+    def pick(logits, key):
+        scaled = logits / jnp.float32(temperature)
+        if top_k is not None:
+            kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    return pick
 
 
 def init_kv_cache(model, batch_size: int, *, dtype=jnp.float32,
@@ -74,16 +95,24 @@ def prefill(model, variables, tokens: jnp.ndarray, *,
 def make_generate(model, prompt_len: int, n_new: int, *,
                   cache_dtype=jnp.float32,
                   logits_to_token: Optional[Callable] = None,
+                  sampled: bool = False,
                   jit: bool = True):
-    """Build ``generate(variables, prompt) -> (B, n_new) tokens``: prefill +
-    ``lax.scan`` greedy decode fused into one compiled program.
+    """Build a generator: prefill + ``lax.scan`` decode fused into one
+    compiled program.
+
+    Greedy (default): ``generate(variables, prompt) -> (B, n_new)``.
+    Sampled (``sampled=True``): ``generate(variables, prompt, key)`` —
+    ``logits_to_token`` must accept ``(logits, key)`` (e.g.
+    :func:`make_sampler`); per-step keys are folded from ``key`` inside the
+    scan, so sampling stays a single compiled program.
 
     Args:
       model: a ``QuantTransformerLM`` (QAT or serve mode).
       prompt_len: static prompt length (one compiled program per length —
         bucket prompts like the serving engine buckets batch sizes).
       n_new: number of tokens to generate.
-      logits_to_token: (B, vocab) -> (B,) int32; default greedy argmax.
+      logits_to_token: (B, vocab) -> (B,) int32 (or with a key when
+        ``sampled``); default greedy argmax.
       jit: wrap in jax.jit (disable to compose with an outer pjit).
     """
     if prompt_len + n_new > model.max_len:
@@ -91,28 +120,37 @@ def make_generate(model, prompt_len: int, n_new: int, *,
             f"prompt_len + n_new = {prompt_len + n_new} exceeds model.max_len "
             f"= {model.max_len}")
     pick = logits_to_token or (
-        lambda logits: jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        lambda logits, *a: jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
-    def generate(variables, prompt: jnp.ndarray) -> jnp.ndarray:
+    def generate(variables, prompt: jnp.ndarray, key=None) -> jnp.ndarray:
         assert prompt.shape[1] == prompt_len, (
             f"prompt length {prompt.shape[1]} != compiled {prompt_len}")
         last_logits, cache, index = prefill(model, variables, prompt,
                                             cache_dtype=cache_dtype)
-        first = pick(last_logits)
+        if sampled:
+            k0, kloop = jax.random.split(key)
+            first = pick(last_logits, k0)
+        else:
+            first = pick(last_logits)
 
-        def step(carry, _):
+        def step(carry, i):
             tok, cache, idx = carry
             logits, cache = model.apply(variables, tok[:, None], cache=cache,
                                         cache_index=idx)
-            nxt = pick(logits[:, -1])
+            if sampled:
+                nxt = pick(logits[:, -1], jax.random.fold_in(kloop, i))
+            else:
+                nxt = pick(logits[:, -1])
             return (nxt, cache, idx + 1), nxt
 
         (_, _, _), rest = jax.lax.scan(
-            step, (first, cache, index), None, length=n_new - 1)
+            step, (first, cache, index), jnp.arange(n_new - 1))
         # rest: (n_new-1, B) time-major from scan → (B, n_new)
         return jnp.concatenate([first[:, None], rest.T], axis=1)
 
-    return jax.jit(generate) if jit else generate
+    if not jit:
+        return generate
+    return jax.jit(generate) if sampled else jax.jit(lambda v, p: generate(v, p))
 
 
 # ---------------------------------------------------------------------------
@@ -167,27 +205,41 @@ class DecodeEngine:
 
     def __init__(self, model, variables, *, max_batch: int = 8,
                  prompt_buckets: Sequence[int] = (32, 128),
-                 cache_dtype=jnp.float32, max_wait_ms: float = 2.0):
+                 cache_dtype=jnp.float32, max_wait_ms: float = 2.0,
+                 eos_id: Optional[int] = None,
+                 logits_to_token: Optional[Callable] = None,
+                 rng=None):
+        """``eos_id``: retire a request early when it emits this token (the
+        result includes the eos).  ``logits_to_token``/``rng``: plug a
+        sampler (see :func:`make_sampler`) — with ``rng`` set, the sampler
+        is called as ``pick(logits, key)`` with per-step folded keys."""
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
         self.buckets = sorted(prompt_buckets)
         self.max_len = model.max_len
+        self.eos_id = eos_id
+        self._rng = rng
+        self._sampled = rng is not None
+        self._counter = 0
+        pick = logits_to_token or (
+            lambda logits, *a: jnp.argmax(logits, -1).astype(jnp.int32))
         self._cache = init_kv_cache(model, max_batch, dtype=cache_dtype)
         self._pos = jnp.full((max_batch,), self.max_len - 1, jnp.int32)
         self._tok = jnp.zeros((max_batch,), jnp.int32)
+        sampled = self._sampled
 
-        def _prefill_insert(variables, cache, prompt, true_len, slot):
+        def _prefill_insert(variables, cache, prompt, true_len, slot, key):
             """Run one padded prompt, write its k/v into global-cache slot
-            ``slot``, return (cache', first greedy token)."""
+            ``slot``, return (cache', first token)."""
             slot_cache = jax.tree.map(
                 lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
             logits, slot_cache = self.model.apply(
                 variables, prompt, cache=slot_cache,
                 cache_index=jnp.zeros((), jnp.int32))
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
-                                                axis=0, keepdims=False)
-            first = jnp.argmax(last, -1).astype(jnp.int32)
+                                                axis=0, keepdims=True)
+            first = (pick(last, key) if sampled else pick(last))[0]
             new_cache = jax.tree.map(
                 lambda g, s: jax.lax.dynamic_update_slice(
                     g, s.astype(g.dtype),
@@ -195,10 +247,10 @@ class DecodeEngine:
                 cache, slot_cache)
             return new_cache, first
 
-        def _step(variables, cache, toks, pos):
+        def _step(variables, cache, toks, pos, key):
             logits, cache = self.model.apply(
                 variables, toks[:, None], cache=cache, cache_index=pos)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            nxt = pick(logits[:, -1], key) if sampled else pick(logits[:, -1])
             return cache, nxt, jnp.minimum(pos + 1, self.max_len - 1)
 
         self._prefill_fn = jax.jit(_prefill_insert, donate_argnums=(1,))
@@ -259,13 +311,24 @@ class DecodeEngine:
             except queue.Empty:
                 return out
 
+    def _next_key(self):
+        if not self._sampled:
+            return None
+        self._counter += 1
+        return jax.random.fold_in(self._rng, self._counter)
+
+    def _finished(self, req: _GenRequest) -> bool:
+        return (len(req.tokens) >= req.n_new
+                or (self.eos_id is not None and len(req.tokens) > 0
+                    and req.tokens[-1] == self.eos_id))
+
     def _admit(self, req: _GenRequest, slot: int):
         b = next(b for b in self.buckets if b >= req.prompt.size)
         padded = np.zeros((1, b), np.int32)
         padded[0, : req.prompt.size] = req.prompt
         self._cache, first = self._prefill_fn(
             self.variables, self._cache, jnp.asarray(padded),
-            req.prompt.size, slot)
+            req.prompt.size, slot, self._next_key())
         self._tok = self._tok.at[slot].set(first)
         self._pos = self._pos.at[slot].set(req.prompt.size)
         req.tokens.append(int(first))
@@ -275,7 +338,7 @@ class DecodeEngine:
 
     def _retire_done(self):
         for slot, req in enumerate(self._slots):
-            if req is not None and len(req.tokens) >= req.n_new:
+            if req is not None and self._finished(req):
                 req.future.set_result(np.asarray(req.tokens[: req.n_new],
                                                  np.int32))
                 self._slots[slot] = None
@@ -302,12 +365,24 @@ class DecodeEngine:
             if not active:
                 time.sleep(self.max_wait_s)
                 continue
-            self._cache, nxt, self._pos = self._step_fn(
-                self.variables, self._cache, self._tok, self._pos)
+            try:
+                self._cache, nxt, self._pos = self._step_fn(
+                    self.variables, self._cache, self._tok, self._pos,
+                    self._next_key())
+                toks = np.asarray(nxt)
+            except Exception as e:  # device failure: fail fast, don't hang
+                for req in self._slots:
+                    if req is not None and not req.future.done():
+                        req.future.set_exception(e)
+                self._slots = [None] * self.max_batch
+                with self._lifecycle_lock:
+                    self._stop = True
+                for req in self._drain_queue():
+                    req.future.set_exception(e)
+                return
             self._tok = nxt
-            toks = np.asarray(nxt)
             for slot, req in enumerate(self._slots):
-                if req is not None and len(req.tokens) < req.n_new:
+                if req is not None and not self._finished(req):
                     req.tokens.append(int(toks[slot]))
             self.stats["steps"] += 1
             self.stats["slot_tokens"] += self.max_batch

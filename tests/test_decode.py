@@ -257,3 +257,68 @@ def test_decode_engine_tp_sharded(qat_setup):
         sharded = run(sv_tp)
     for a, b in zip(plain, sharded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_generate_sampled(qat_setup):
+    """Sampled generation: one compiled program, deterministic under a fixed
+    key, varies across keys, and respects top-k restriction."""
+    from jaxlsq.serve.decode import make_sampler
+
+    model, variables, tokens, _ = qat_setup
+    gen = make_generate(model, prompt_len=4, n_new=6,
+                        logits_to_token=make_sampler(temperature=1.5, top_k=8),
+                        sampled=True)
+    prompt = tokens[:, :4]
+    a = np.asarray(gen(variables, prompt, jax.random.key(0)))
+    b = np.asarray(gen(variables, prompt, jax.random.key(0)))
+    c = np.asarray(gen(variables, prompt, jax.random.key(1)))
+    np.testing.assert_array_equal(a, b)       # same key → same tokens
+    assert (a != c).any()                     # different key → different
+    assert a.shape == (2, 6)
+    # temperature 0 collapses to greedy
+    g0 = make_generate(model, prompt_len=4, n_new=6,
+                       logits_to_token=make_sampler(temperature=0.0),
+                       sampled=True)
+    greedy = make_generate(model, prompt_len=4, n_new=6)
+    np.testing.assert_array_equal(
+        np.asarray(g0(variables, prompt, jax.random.key(0))),
+        np.asarray(greedy(variables, prompt)))
+
+
+def test_decode_engine_eos_early_retire(qat_setup):
+    """A request whose decode emits eos_id retires early; its Future result
+    ends at the eos token."""
+    from jaxlsq.serve.decode import DecodeEngine
+
+    model, variables, tokens, _ = qat_setup
+    r = np.random.RandomState(9)
+    p = r.randint(0, VOCAB, size=4)
+    # find what greedy emits so we can pick its 2nd token as "eos"
+    from jaxlsq.serve.decode import prefill as _pf
+
+    last, cache, idx = _pf(model, variables, jnp.asarray(p)[None])
+    t1 = int(jnp.argmax(last, -1)[0])
+    logits, cache = model.apply(variables, jnp.asarray([[t1]]), cache=cache,
+                                cache_index=idx)
+    t2 = int(jnp.argmax(logits[:, -1], -1)[0])
+
+    with DecodeEngine(model, variables, max_batch=2, prompt_buckets=(4,),
+                      eos_id=t2) as eng:
+        out = eng.submit(p, 10).result(timeout=300)
+    # retires at the FIRST eos emission (t1 may equal t2 if greedy self-loops)
+    want_len = 1 if t1 == t2 else 2
+    assert out.shape[0] == want_len and out[-1] == t2 and out.shape[0] < 10
+
+
+def test_decode_engine_sampled(qat_setup):
+    from jaxlsq.serve.decode import DecodeEngine, make_sampler
+
+    model, variables, tokens, _ = qat_setup
+    r = np.random.RandomState(10)
+    p = r.randint(0, VOCAB, size=4)
+    with DecodeEngine(model, variables, max_batch=2, prompt_buckets=(4,),
+                      logits_to_token=make_sampler(1.0, top_k=16),
+                      rng=jax.random.key(3)) as eng:
+        outs = [eng.submit(p, 5).result(timeout=300) for _ in range(3)]
+    assert all(o.shape == (5,) for o in outs)
+    assert any((outs[0] != o).any() for o in outs[1:])  # sampling varies
