@@ -181,3 +181,53 @@ def test_fake_quant_under_shard_map(impl, per_channel):
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(db), np.asarray(want_db),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_sequence_parallel_lm_train_step():
+    """Long-context / sequence parallelism (SURVEY §5 SP item): the LM train
+    step with tokens sharded over BOTH batch ('data') and sequence ('model')
+    axes produces the same loss and gradients-applied state as unsharded —
+    the fake-quant ops are elementwise along sequence, so XLA partitions
+    them freely and inserts attention/collective comms itself."""
+    import optax
+
+    from jaxlsq.models import QuantTransformerLM, default_qconfig
+
+    qc = default_qconfig(8, 8, init_batches=1)
+    model = QuantTransformerLM(vocab=64, dim=32, depth=1, num_heads=4,
+                               qconfig=qc, max_len=16)
+    tx = optax.sgd(1e-2)
+    r = np.random.RandomState(0)
+    tokens = jnp.asarray(r.randint(0, 64, size=(4, 16)))
+
+    def loss_fn(logits, batch):
+        import optax as _o
+        return _o.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], batch["label"][:, 1:]).mean()
+
+    def run(mesh, token_spec):
+        state = create_train_state(model, tx, tokens[:2])
+        step = make_train_step(model, tx, loss_fn=loss_fn, jit=False)
+        if mesh is None:
+            jitted = jax.jit(step)
+            batch = {"input": tokens, "label": tokens}
+        else:
+            sh = NamedSharding(mesh, token_spec)
+            rep = NamedSharding(mesh, P())
+            jitted = jax.jit(step, in_shardings=(rep, {"input": sh, "label": sh}),
+                             out_shardings=(rep, rep))
+            state = jax.device_put(state, rep)
+            batch = {"input": jax.device_put(tokens, sh),
+                     "label": jax.device_put(tokens, sh)}
+        new_state, metrics = jitted(state, batch)
+        return float(metrics["loss"]), new_state
+
+    base_loss, base_state = run(None, None)
+    mesh = make_mesh(data=2, model=4)
+    sp_loss, sp_state = run(mesh, P("data", "model"))  # batch AND seq sharded
+
+    np.testing.assert_allclose(sp_loss, base_loss, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(base_state.params),
+                    jax.tree.leaves(sp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
