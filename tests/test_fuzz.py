@@ -69,3 +69,58 @@ def test_fuzz_pallas_vs_golden(case):
                                err_msg=f"dS {spec} {shape}", **tol(dSw))
     np.testing.assert_allclose(np.asarray(dB), np.asarray(dBw),
                                err_msg=f"dB {spec} {shape}", **tol(dBw))
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_fuzz_golden_vs_compiled_reference(case):
+    """Same random configurations, but judged against the COMPILED reference
+    CPU kernels (oracle #4, tests/_reference_oracle.py) — random-config
+    assurance on top of test_reference_oracle.py's fixed grid."""
+    torch = pytest.importorskip("torch")
+    from _reference_oracle import load_reference_ops
+
+    try:
+        ops = load_reference_ops()
+    except Exception as e:
+        pytest.skip(f"reference oracle build unavailable: {e}")
+
+    r = np.random.RandomState(3000 + case)
+    spec, shape, eval_mode, init_mode = _random_case(r)
+    x = 3.0 * r.randn(*shape).astype(np.float32)
+    g = r.randn(*shape).astype(np.float32)
+    c = shape[spec.axis] if spec.per_channel else 1
+    scale = (0.02 + 0.2 * r.rand(c)).astype(np.float32)
+    shift = (np.zeros(c, np.float32) if spec.symmetric
+             else (0.1 * r.randn(c)).astype(np.float32))
+
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    common = (spec.quant_min, spec.quant_max, spec.type_min, spec.type_max,
+              spec.use_grad_scaling, spec.grad_scaler, spec.symmetric,
+              eval_mode, init_mode)
+    if spec.per_channel:
+        ref_f = ops.lsq_forward_per_channel(t(x), t(scale), t(shift),
+                                            spec.axis, *common).numpy()
+        ref_b = ops.lsq_backward_per_channel(t(g), t(x), t(scale), t(shift),
+                                             spec.axis, *common)
+    else:
+        ref_f = ops.lsq_forward_per_tensor(t(x), t(scale), t(shift),
+                                           *common).numpy()
+        ref_b = ops.lsq_backward_per_tensor(t(g), t(x), t(scale), t(shift),
+                                            *common)
+    ref_dx, ref_ds, ref_db = (a.numpy() for a in ref_b)
+
+    got_f = golden_forward(jnp.asarray(x), jnp.asarray(scale),
+                           jnp.asarray(shift), spec, init_mode=init_mode)
+    np.testing.assert_array_equal(np.asarray(got_f), ref_f,
+                                  err_msg=f"fwd {spec} {shape}")
+    dX, dS, dB = golden_backward(jnp.asarray(g), jnp.asarray(x),
+                                 jnp.asarray(scale), jnp.asarray(shift), spec,
+                                 eval_mode=eval_mode, init_mode=init_mode)
+    np.testing.assert_array_equal(np.asarray(dX), ref_dx,
+                                  err_msg=f"dX {spec} {shape}")
+    np.testing.assert_allclose(np.asarray(dS).reshape(-1), ref_ds.reshape(-1),
+                               rtol=3e-5, atol=1e-6,
+                               err_msg=f"dS {spec} {shape}")
+    np.testing.assert_allclose(np.asarray(dB).reshape(-1), ref_db.reshape(-1),
+                               rtol=3e-5, atol=1e-6,
+                               err_msg=f"dB {spec} {shape}")
