@@ -151,13 +151,19 @@ def bench_decode():
     # the two points.
     N1, N2 = 16, 208
     qc = default_qconfig(8, 8, init_batches=1)
+    qc4 = default_qconfig(4, 8, init_batches=1)
     model = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=DEPTH,
                                num_heads=HEADS, qconfig=qc, max_len=T0 + N2)
+    model4 = dataclasses.replace(model, qconfig=qc4)
     r = np.random.RandomState(7)
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, T0), jnp.int32), training=False)
+    v4 = model4.init(jax.random.key(0),
+                     jnp.zeros((1, T0), jnp.int32), training=False)
     sv = convert(variables, qc)
+    sv4 = convert(v4, qc4)
     sm = dataclasses.replace(model, qconfig=qc.for_serving("none", "auto"))
+    sm4 = dataclasses.replace(model4, qconfig=qc4.for_serving("none", "auto"))
     fm = dataclasses.replace(model, qconfig=QConfig())  # float twin
     fv = {"params": variables["params"]}
 
@@ -165,7 +171,10 @@ def bench_decode():
     for B in (1, 8):
         prompt = jnp.asarray(r.randint(0, VOCAB, size=(B, T0)))
         runs = {}
-        for name, mdl, var in (("int8", sm, sv), ("f32", fm, fv)):
+        legs = [("int8", sm, sv), ("f32", fm, fv)]
+        if B == 1:  # W4 weight-stream story at the most weight-bound shape
+            legs.append(("int4", sm4, sv4))
+        for name, mdl, var in legs:
             g1 = make_generate(mdl, T0, N1, cache_dtype=jnp.bfloat16)
             g2 = make_generate(mdl, T0, N2, cache_dtype=jnp.bfloat16)
             np.asarray(g1(var, prompt)); np.asarray(g2(var, prompt))  # warm
@@ -180,6 +189,10 @@ def bench_decode():
         out[f"decode_tokens_per_s_b{B}_f32"] = round(B / runs["f32"], 1)
         out[f"decode_speedup_b{B}_int8_vs_f32"] = round(
             runs["f32"] / runs["int8"], 2)
+        if "int4" in runs:
+            out[f"decode_tokens_per_s_b{B}_int4"] = round(B / runs["int4"], 1)
+            out[f"decode_speedup_b{B}_int4_vs_int8"] = round(
+                runs["int8"] / runs["int4"], 2)
     out["decode_shape"] = (f"LM d{DIM} depth{DEPTH} vocab{VOCAB} "
                            f"prompt{T0}, greedy scan decode, bf16 KV cache")
     return out
