@@ -29,7 +29,7 @@ def main():
 
     qc = default_qconfig(8, 8, per_channel_weights=True, init_batches=0)
     model = QuantTransformerLM(vocab=256, dim=128, depth=2, num_heads=4,
-                               qconfig=qc, max_len=args.seq)
+                               qconfig=qc, max_len=args.seq + 32)
     tok0 = jnp.zeros((1, args.seq), jnp.int32)
     variables = model.init(jax.random.key(0), tok0, training=False)
 
@@ -56,6 +56,23 @@ def main():
     print(f"served {len(outs)} requests in {eng.stats['batches']} batches "
           f"(padding waste {eng.stats['padded_examples']} examples)")
     print("logits[0, -1, :4] =", outs[0][-1, :4])
+
+    # Token-level continuous batching: generation requests of different
+    # prompt lengths join one running decode batch at token boundaries.
+    from jaxlsq.serve import DecodeEngine, make_sampler
+
+    gen_model = dataclasses.replace(model, qconfig=qc.for_serving("none"))
+    with DecodeEngine(gen_model, serve_vars, max_batch=4,
+                      prompt_buckets=(8, args.seq),
+                      logits_to_token=make_sampler(temperature=0.8, top_k=40),
+                      rng=jax.random.key(1)) as deng:
+        gfuts = [deng.submit(r.randint(0, 256, size=int(r.randint(4, args.seq))),
+                             n_new=16) for _ in range(8)]
+        gens = [f.result(timeout=600) for f in gfuts]
+    util = deng.stats["active_token_sum"] / max(deng.stats["slot_tokens"], 1)
+    print(f"generated {len(gens)} continuations of 16 tokens "
+          f"({deng.stats['steps']} decode steps, slot utilization {util:.0%})")
+    print("tokens[0] =", gens[0])
 
 
 if __name__ == "__main__":
