@@ -66,6 +66,7 @@ def main():
                       prompt_buckets=(8, args.seq),
                       logits_to_token=make_sampler(temperature=0.8, top_k=40),
                       rng=jax.random.key(1)) as deng:
+        deng.warmup()
         gfuts = [deng.submit(r.randint(0, 256, size=int(r.randint(4, args.seq))),
                              n_new=16) for _ in range(8)]
         gens = [f.result(timeout=600) for f in gfuts]

@@ -259,6 +259,8 @@ class DecodeEngine:
         self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
         self._slots: list = [None] * max_batch
         self._lifecycle_lock = threading.Lock()
+        # serializes device-state mutation (dispatcher iteration vs warmup)
+        self._state_lock = threading.Lock()
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
@@ -267,6 +269,26 @@ class DecodeEngine:
         self._thread.start()
 
     # ------------------------------------------------------------------ API
+
+    def warmup(self):
+        """Compile the decode step and one prefill per bucket up front (first
+        compiles otherwise land on the first unlucky requests)."""
+        with self._state_lock:
+            zeros = jnp.zeros((self.max_batch,), jnp.int32)
+            cache, nxt, pos = self._step_fn(self.variables, self._cache,
+                                            zeros, self._pos, self._next_key())
+            jax.block_until_ready(nxt)
+            for b in self.buckets:
+                cache, first = self._prefill_fn(
+                    self.variables, cache, jnp.zeros((1, b), jnp.int32),
+                    1, 0, self._next_key())
+                jax.block_until_ready(first)
+            # restore a clean parked state (warmup wrote junk rows, all of
+            # which sit beyond every parked position and would be overwritten
+            # before first exposure anyway; reset for tidiness)
+            self._cache = jax.tree.map(jnp.zeros_like, cache)
+            self._pos = jnp.full((self.max_batch,), self.max_len - 1,
+                                 jnp.int32)
 
     def submit(self, prompt, n_new: int) -> Future:
         """Queue one generation request; Future resolves to an (n_new,) int32
@@ -350,6 +372,7 @@ class DecodeEngine:
             if self._stop:
                 return
             # admit into free slots at the token boundary
+            self._state_lock.acquire()
             for slot in range(self.max_batch):
                 if self._slots[slot] is None:
                     try:
@@ -363,6 +386,7 @@ class DecodeEngine:
             self._retire_done()
             active = [s for s in self._slots if s is not None]
             if not active:
+                self._state_lock.release()
                 time.sleep(self.max_wait_s)
                 continue
             try:
@@ -379,6 +403,7 @@ class DecodeEngine:
                     self._stop = True
                 for req in self._drain_queue():
                     req.future.set_exception(e)
+                self._state_lock.release()
                 return
             self._tok = nxt
             for slot, req in enumerate(self._slots):
@@ -388,3 +413,4 @@ class DecodeEngine:
             self.stats["slot_tokens"] += self.max_batch
             self.stats["active_token_sum"] += len(active)
             self._retire_done()
+            self._state_lock.release()

@@ -322,3 +322,20 @@ def test_decode_engine_sampled(qat_setup):
         outs = [eng.submit(p, 5).result(timeout=300) for _ in range(3)]
     assert all(o.shape == (5,) for o in outs)
     assert any((outs[0] != o).any() for o in outs[1:])  # sampling varies
+
+
+def test_decode_engine_warmup(qat_setup):
+    """warmup() precompiles and must not perturb subsequent results."""
+    from jaxlsq.serve.decode import DecodeEngine
+
+    model, variables, tokens, _ = qat_setup
+    r = np.random.RandomState(12)
+    p = r.randint(0, VOCAB, size=4)
+    with DecodeEngine(model, variables, max_batch=2,
+                      prompt_buckets=(4, 8)) as eng:
+        cold = eng.submit(p, 4).result(timeout=300)
+    with DecodeEngine(model, variables, max_batch=2,
+                      prompt_buckets=(4, 8)) as eng:
+        eng.warmup()
+        warm = eng.submit(p, 4).result(timeout=300)
+    np.testing.assert_array_equal(cold, warm)
