@@ -35,6 +35,30 @@ def synthetic_batches(batch, steps, seed=0):
                "label": jnp.asarray(r.randint(0, 10, size=batch))}
 
 
+def native_loader_batches(batch, steps, seed=0, shard_dir="/tmp/jaxlsq_shards"):
+    """Same synthetic data, but staged as .npy shards on disk and streamed
+    through the native C++ prefetching loader (jaxlsq.native.NativeShardLoader)
+    — the production-shaped input path."""
+    import os
+
+    from jaxlsq.native import NativeShardLoader
+
+    os.makedirs(shard_dir, exist_ok=True)
+    r = np.random.RandomState(seed)
+    pairs = []
+    for i in range(4):
+        xp = os.path.join(shard_dir, f"x{i}.npy")
+        yp = os.path.join(shard_dir, f"y{i}.npy")
+        if not (os.path.exists(xp) and os.path.exists(yp)):
+            np.save(xp, r.randn(512, 32, 32, 3).astype(np.float32))
+            np.save(yp, r.randint(0, 10, size=512).astype(np.int32))
+        pairs.append((xp, yp))
+    with NativeShardLoader(pairs, batch=batch, seed=seed, workers=4) as ld:
+        for _ in range(steps):
+            x, y = ld.next()
+            yield {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
@@ -42,6 +66,8 @@ def main():
     ap.add_argument("--bits", type=int, default=8, choices=(4, 8))
     ap.add_argument("--init-batches", type=int, default=10)
     ap.add_argument("--ckpt", default="/tmp/jaxlsq_ckpt")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="stream batches through the C++ shard loader")
     args = ap.parse_args()
 
     n_dev = jax.device_count()
@@ -61,7 +87,10 @@ def main():
 
     step = make_train_step(model, tx, mesh=mesh)
     timer = StepTimer(warmup=2)
-    for batch in synthetic_batches(args.batch, args.steps):
+    batches = (native_loader_batches(args.batch, args.steps)
+               if args.native_loader else
+               synthetic_batches(args.batch, args.steps))
+    for batch in batches:
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = step(state, batch)

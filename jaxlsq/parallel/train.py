@@ -72,8 +72,16 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     jit: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted QAT train step: (state, batch) → (state, metrics).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
+    axis is split into that many microbatches scanned on device (one
+    optimizer update per step; observers/BatchNorm see the microbatches in
+    sequence).  For LSQ-exact parity with the equivalent full batch, set
+    ``LSQQuantizer(numel=<effective batch numel>)`` on activation
+    quantizers — their grad scale otherwise uses the microbatch numel.
 
     ``batch`` is a dict with at least 'image'/'input' (first key fed to the
     model) and whatever ``loss_fn`` needs.  With ``mesh``, the batch is
@@ -86,18 +94,56 @@ def make_train_step(
     (examples/accuracy_parity.py fuses 250 steps per dispatch this way).
     """
 
-    def step(state: QATTrainState, batch):
+    def _grads_one(params, model_state, batch):
         x = batch.get("input", batch.get("image"))
 
-        def compute_loss(params):
+        def compute_loss(p):
             out, mut = model.apply(
-                {**params, **state.model_state}, x, training=True,
+                {**p, **model_state}, x, training=True,
                 mutable=list(k for k in _MUTABLE if k != "qparams") + ["qparams"])
             loss = loss_fn(out, batch)
             return loss, (out, mut)
 
         (loss, (out, mut)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+            compute_loss, has_aux=True)(params)
+        return loss, grads, mut
+
+    def step(state: QATTrainState, batch):
+        if accum_steps == 1:
+            loss, grads, mut = _grads_one(state.params, state.model_state,
+                                          batch)
+        else:
+            # Microbatching: split the batch leading axis into accum_steps
+            # chunks, scan gradients (mean) while THREADING the mutable
+            # state (observers/BN see each microbatch in sequence, exactly
+            # like accum_steps separate forwards).  NOTE on LSQ grad scaling:
+            # activation quantizers see the MICRO batch numel; configure
+            # LSQQuantizer(numel=<full effective batch numel>) to reproduce
+            # full-batch gradients exactly (weights are batch-independent).
+            micro = jax.tree.map(
+                lambda a: a.reshape(
+                    (accum_steps, a.shape[0] // accum_steps) + a.shape[1:]),
+                batch)
+
+            def body(carry, mb):
+                params, model_state, gsum = carry
+                loss, grads, mut = _grads_one(params, model_state, mb)
+                params = {"params": params["params"],
+                          "qparams": mut["qparams"]}
+                model_state = {**model_state,
+                               **{k: v for k, v in mut.items()
+                                  if k != "qparams"}}
+                gsum = jax.tree.map(jnp.add, gsum, grads)
+                return (params, model_state, gsum), loss
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            (params_mut, mstate_mut, gsum), losses = jax.lax.scan(
+                body, (state.params, state.model_state, g0), micro)
+            loss = jnp.mean(losses)
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            mut = {"qparams": params_mut["qparams"], **{
+                k: v for k, v in mstate_mut.items()}}
+            state = state.replace(model_state=mstate_mut)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         # optimizer updates on top of observer-written qparams (see
         # jaxlsq/models/layers.py module docstring for why this is exact)

@@ -231,3 +231,45 @@ def test_sequence_parallel_lm_train_step():
                     jax.tree.leaves(sp_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 microbatching == one full-batch step, exactly, when the
+    activation quantizers carry numel=<full batch numel> (the documented
+    contract; weight quantizers are batch-independent).  Observer updates see
+    microbatches sequentially, so use learnable-init (no observer)."""
+    import dataclasses
+
+    import optax
+
+    from jaxlsq.models import QuantMLP
+    from jaxlsq.models.qconfig import QConfig
+    from jaxlsq.observers import LSQQuantizer
+    from jaxlsq.core.spec import QuantSpec
+
+    B, F = 16, 8
+    full_act_numel = B * F  # per-layer activation numel at the full batch
+    wq = LSQQuantizer(spec=QuantSpec.weight_default(8), otype="weight")
+    aq = LSQQuantizer(spec=QuantSpec.activation_default(8),
+                      otype="activation", init_mode="learnable", n_batches=-1,
+                      numel=full_act_numel)
+    qc = QConfig(weight=wq, activation=aq)
+    model = QuantMLP(features=(F, 4), qconfig=qc)
+    tx = optax.sgd(1e-2)
+    r = np.random.RandomState(0)
+    batch = {"input": jnp.asarray(r.randn(B, F).astype(np.float32)),
+             "label": jnp.asarray(r.randint(0, 4, size=B))}
+
+    def run(accum):
+        state = create_train_state(model, tx, batch["input"][:2])
+        step = make_train_step(model, tx, accum_steps=accum, donate=False)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        return state, float(metrics["loss"])
+
+    s1, l1 = run(1)
+    s4, l4 = run(4)
+    np.testing.assert_allclose(l4, l1, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
