@@ -109,8 +109,10 @@ def run_one(model_fn, name, steps, batch_size, seed, results):
 
         t0 = time.time()
         carry = (state, key)
-        for _ in range(max(1, steps // CHUNK)):
+        n_chunks = max(1, steps // CHUNK)
+        for _ in range(n_chunks):
             carry, last_loss = run_chunk(carry)
+        steps_ran = n_chunks * CHUNK  # recorded honestly (chunk granularity)
         state = carry[0]
         loss = float(last_loss)
         dt = time.time() - t0
@@ -122,7 +124,7 @@ def run_one(model_fn, name, steps, batch_size, seed, results):
         pred = jnp.argmax(eval_fn(variables, test_x), -1)
         acc = float((pred == test_y).mean())
         row = {"train_loss": round(loss, 4), "top1": round(acc, 4),
-               "train_s": round(dt, 1)}
+               "train_s": round(dt, 1), "steps_ran": steps_ran}
 
         if qc.weight is not None:  # converted serving accuracy
             sv = convert(variables, qc)

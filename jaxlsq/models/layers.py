@@ -144,12 +144,7 @@ class QuantDense(nn.Module):
         from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
                                     wo_matmul)
 
-        wcfg = self.qconfig.weight_for_axis(1)
-        if wcfg is None:
-            raise ValueError(
-                "serve mode requires a weight quantizer; qconfig.weight is None "
-                "(weight-unquantized layers have no packed kernel to serve from)")
-        wspec = wcfg.spec
+        wspec = self.qconfig.required_weight_for_axis(1).spec
         kshape = (x.shape[-1], self.features)
         packed = self.variable("quantized", "kernel",
                                lambda: _dummy_packed(kshape, wspec, 1)).value
@@ -205,12 +200,7 @@ class QuantConv(nn.Module):
                 raise ValueError(
                     "act_mode='dynamic' is not supported for conv layers; "
                     "use 'static' or 'none' for models containing QuantConv")
-            wcfg = self.qconfig.weight_for_axis(3)
-            if wcfg is None:
-                raise ValueError(
-                    "serve mode requires a weight quantizer; qconfig.weight is "
-                    "None (weight-unquantized layers have no packed kernel)")
-            wspec = wcfg.spec
+            wspec = self.qconfig.required_weight_for_axis(3).spec
             kshape = (kh, kw, in_feat, self.features)
             packed = self.variable(
                 "quantized", "kernel",
@@ -289,13 +279,7 @@ class QuantEmbed(nn.Module):
     def __call__(self, tokens, *, training: bool = False):
         kshape = (self.num_embeddings, self.features)
         if self.qconfig.mode == "serve":
-            wcfg = self.qconfig.weight_for_axis(0)
-            if wcfg is None and self.qconfig.weight is None:
-                raise ValueError(
-                    "serve mode requires a weight quantizer; qconfig.weight is "
-                    "None (weight-unquantized embeddings have no packed table)")
-            wspec = (wcfg.spec if wcfg is not None
-                     else self.qconfig.weight.spec)
+            wspec = self.qconfig.required_weight_for_axis(0).spec
             # int8 always: int4 nibble packing would break row gathers
             packed = self.variable(
                 "quantized", "embedding",

@@ -65,6 +65,16 @@ class QConfig:
         return dataclasses.replace(self, mode="serve", act_mode=act_mode,
                                    serve_impl=impl, serve_precision=precision)
 
+    def required_weight_for_axis(self, axis: int) -> LSQQuantizer:
+        """weight_for_axis that raises the canonical serve-mode error when
+        the config carries no weight quantizer (nothing packed to serve)."""
+        wcfg = self.weight_for_axis(axis)
+        if wcfg is None:
+            raise ValueError(
+                "serve mode requires a weight quantizer; qconfig.weight is "
+                "None (weight-unquantized layers have no packed kernel/table)")
+        return wcfg
+
     def weight_for_axis(self, axis: int) -> Optional[LSQQuantizer]:
         if self.weight is None:
             return None

@@ -27,6 +27,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <random>
 #include <string>
@@ -128,34 +130,40 @@ struct Loader {
   std::atomic<bool> stop{false};
   std::atomic<int64_t> delivered{0};
 
-  // permutation cache for the epoch each worker currently needs
+  // Immutable per-epoch permutation snapshots.  Each epoch's permutation is
+  // built FROM IDENTITY with an epoch-salted seed, so it is a pure function
+  // of (seed, epoch) no matter which worker builds it or in what order —
+  // workers prefetching across an epoch boundary each get the right
+  // snapshot (an earlier in-place reshuffle design raced here: a straggler
+  // re-shuffling the evolving array produced a different epoch-e
+  // permutation than its peers).  Workers hold shared_ptrs — no copies.
   std::mutex perm_mu;
-  int64_t perm_epoch = -1;
-  std::vector<int64_t> perm;
+  std::map<int64_t, std::shared_ptr<const std::vector<int64_t>>> perms;
 
-  void perm_for_epoch(int64_t epoch, std::vector<int64_t>* out_local) {
+  std::shared_ptr<const std::vector<int64_t>> perm_for_epoch(int64_t epoch) {
     std::lock_guard<std::mutex> g(perm_mu);
-    if (perm_epoch != epoch) {
-      if (perm.empty()) {
-        perm.resize(index.size());
-        for (size_t i = 0; i < perm.size(); i++) perm[i] = (int64_t)i;
-      }
-      std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + (uint64_t)epoch);
-      for (size_t i = perm.size() - 1; i > 0; i--) {
-        size_t j = rng() % (i + 1);
-        std::swap(perm[i], perm[j]);
-      }
-      perm_epoch = epoch;
+    auto it = perms.find(epoch);
+    if (it != perms.end()) return it->second;
+    auto p = std::make_shared<std::vector<int64_t>>(index.size());
+    for (size_t i = 0; i < p->size(); i++) (*p)[i] = (int64_t)i;
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + (uint64_t)epoch);
+    for (size_t i = p->size() - 1; i > 0; i--) {
+      size_t j = rng() % (i + 1);
+      std::swap((*p)[i], (*p)[j]);
     }
-    *out_local = perm;  // copy so workers on an epoch boundary stay correct
+    perms[epoch] = p;
+    // prune epochs far behind (prefetch skew is bounded by ring+workers)
+    while (!perms.empty() && perms.begin()->first < epoch - 8)
+      perms.erase(perms.begin());
+    return p;
   }
 
-  void fill_batch(int64_t b, Slot* slot, std::vector<int64_t>* scratch) {
+  void fill_batch(int64_t b, Slot* slot) {
     int64_t epoch = b / batches_per_epoch;
     int64_t off = (b % batches_per_epoch) * batch;
-    perm_for_epoch(epoch, scratch);
+    auto perm = perm_for_epoch(epoch);
     for (int64_t i = 0; i < batch; i++) {
-      auto [shard, row] = index[(*scratch)[off + i]];
+      auto [shard, row] = index[(*perm)[off + i]];
       memcpy(slot->x.data() + i * x_row_bytes,
              xs[shard].data + (int64_t)row * x_row_bytes, x_row_bytes);
       if (y_row_bytes)
@@ -166,7 +174,6 @@ struct Loader {
   }
 
   void worker() {
-    std::vector<int64_t> scratch;
     while (!stop.load()) {
       int64_t b = next_fill.fetch_add(1);
       // Batch b always lives in ring slot b % D; the slot's `turn` field
@@ -183,7 +190,7 @@ struct Loader {
         if (stop.load()) return;
         slot->state = Slot::FILLING;
       }
-      fill_batch(b, slot, &scratch);
+      fill_batch(b, slot);
       {
         std::lock_guard<std::mutex> lk(mu);
         slot->state = Slot::READY;

@@ -120,6 +120,21 @@ class NativeShardLoader:
             y_dtype, y_shape = _npy_meta(pairs[0][1])
             self.y_shape = (batch,) + tuple(y_shape[1:])
             self.y_dtype = y_dtype
+        # Every shard must match shard 0's dtype AND inner shape — the native
+        # layer only checks row BYTE sizes, which would silently reinterpret
+        # e.g. int32 rows as float32.
+        for xp_path, yp_path in pairs[1:]:
+            d, sh = _npy_meta(xp_path)
+            if d != x_dtype or tuple(sh[1:]) != tuple(x_shape[1:]):
+                raise ValueError(
+                    f"shard {xp_path}: dtype/shape {d}{sh[1:]} != shard0 "
+                    f"{x_dtype}{tuple(x_shape[1:])}")
+            if self._has_y:
+                d, sh = _npy_meta(yp_path)
+                if d != y_dtype or tuple(sh[1:]) != tuple(y_shape[1:]):
+                    raise ValueError(
+                        f"shard {yp_path}: dtype/shape {d}{sh[1:]} != shard0 "
+                        f"{y_dtype}{tuple(y_shape[1:])}")
 
         xp = (ctypes.c_char_p * len(pairs))(
             *[p[0].encode() for p in pairs])

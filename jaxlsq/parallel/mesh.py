@@ -74,7 +74,12 @@ def initialize_distributed() -> Tuple[int, int]:
         try:
             jax.distributed.initialize(**kw)
         except RuntimeError:
-            # Backend already up (interactive session / second call): a
-            # late initialize is impossible; proceed with what we have.
-            pass
+            # Backend already up (interactive session / second call): a late
+            # initialize is impossible; proceed with what we have.  But if a
+            # MULTI-process run was explicitly requested and we are still a
+            # single process, swallowing the error would silently train N
+            # independent copies — re-raise instead.
+            if (int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+                    and jax.process_count() == 1):
+                raise
     return jax.process_index(), jax.process_count()

@@ -272,8 +272,13 @@ class DecodeEngine:
 
     def warmup(self):
         """Compile the decode step and one prefill per bucket up front (first
-        compiles otherwise land on the first unlucky requests)."""
+        compiles otherwise land on the first unlucky requests).  Must run
+        before requests are in flight — it resets the cache/positions."""
         with self._state_lock:
+            if any(slot is not None for slot in self._slots):
+                raise RuntimeError(
+                    "warmup() must run before requests are in flight "
+                    "(it resets the KV cache)")
             zeros = jnp.zeros((self.max_batch,), jnp.int32)
             cache, nxt, pos = self._step_fn(self.variables, self._cache,
                                             zeros, self._pos, self._next_key())
@@ -309,13 +314,26 @@ class DecodeEngine:
             self._queue.put(req)
         return req.future
 
+    def _fail_pending(self, exc):
+        for slot, req in enumerate(self._slots):
+            if req is not None and not req.future.done():
+                req.future.set_exception(exc)
+        self._slots = [None] * self.max_batch
+        for req in self._drain_queue():
+            if not req.future.done():
+                req.future.set_exception(exc)
+
     def close(self):
         with self._lifecycle_lock:
             self._stop = True
-        self._thread.join(timeout=30)
-        for req in list(self._slots) + self._drain_queue():
-            if req is not None and not req.future.done():
-                req.future.set_exception(RuntimeError("DecodeEngine closed"))
+        self._thread.join(timeout=300)
+        if not self._thread.is_alive():
+            # the dispatcher fails pending work itself on observing _stop;
+            # this only mops up anything enqueued after its last check
+            self._fail_pending(RuntimeError("DecodeEngine closed"))
+        # if the thread is still alive (e.g. stuck in a first compile), do
+        # NOT fail slot futures: the dispatcher would later set_result on a
+        # done Future (InvalidStateError) and die holding the state lock
 
     def __enter__(self):
         return self
@@ -361,8 +379,9 @@ class DecodeEngine:
     def _retire_done(self):
         for slot, req in enumerate(self._slots):
             if req is not None and self._finished(req):
-                req.future.set_result(np.asarray(req.tokens[: req.n_new],
-                                                 np.int32))
+                if not req.future.done():  # close() may have raced us
+                    req.future.set_result(
+                        np.asarray(req.tokens[: req.n_new], np.int32))
                 self._slots[slot] = None
                 # park the freed slot
                 self._pos = self._pos.at[slot].set(self.max_len - 1)
@@ -370,6 +389,7 @@ class DecodeEngine:
     def _loop(self):
         while True:
             if self._stop:
+                self._fail_pending(RuntimeError("DecodeEngine closed"))
                 return
             # admit into free slots at the token boundary
             self._state_lock.acquire()
