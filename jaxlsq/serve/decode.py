@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["init_kv_cache", "prefill", "make_generate", "make_sampler",
-           "DecodeEngine"]
+           "make_speculative_generate", "DecodeEngine"]
 
 
 def make_sampler(temperature: float = 1.0, top_k: Optional[int] = None):
@@ -434,3 +434,86 @@ class DecodeEngine:
             self.stats["active_token_sum"] += len(active)
             self._retire_done()
             self._state_lock.release()
+
+
+def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
+                              k: int = 4, cache_dtype=jnp.float32,
+                              jit: bool = True):
+    """Greedy speculative decoding: a cheap ``draft`` LM proposes ``k``
+    tokens per round, the ``target`` verifies them in ONE forward (k
+    positions = one weight stream, the same HBM cost as a single decode
+    step), and the longest agreeing prefix plus the target's correction is
+    emitted.  Output is EXACTLY the target's greedy decode, by construction.
+
+    TPU-native mechanics (all static shapes, one compiled program):
+
+    * rollback is free: rejected draft rows sit in cache positions beyond
+      the accepted prefix, and decode at position p always writes row p
+      before attending to it — the same overwrite-before-first-exposure
+      invariant DecodeEngine's parked slots rely on — so "rewind" is just
+      "don't advance the position".
+    * the emit buffer is padded by k+1 so each round can write its full
+      k-vector (garbage beyond the accepted length is overwritten by the
+      next round's write); a ``lax.while_loop`` runs rounds until n_new
+      tokens are emitted.
+
+    Requires ``prompt_len + n_new + k <= min(target.max_len,
+    draft.max_len)`` (verification headroom) and matching vocab.  B = 1
+    (speculative acceptance lengths diverge across a batch; batch via vmap
+    of the whole generator if needed).
+
+    Returns ``generate(target_vars, draft_vars, prompt(1, prompt_len)) ->
+    (1, n_new) int32``.
+    """
+    if target.vocab != draft.vocab:
+        raise ValueError("target and draft must share a vocab")
+    if prompt_len + n_new + k > min(target.max_len, draft.max_len):
+        raise ValueError(
+            f"prompt_len + n_new + k = {prompt_len + n_new + k} exceeds "
+            f"max_len = {min(target.max_len, draft.max_len)} "
+            "(speculative verification needs k tokens of cache headroom)")
+
+    def generate(tvars, dvars, prompt):
+        assert prompt.shape == (1, prompt_len), "speculative decode is B=1"
+        tlog, tcache, pos = prefill(target, tvars, prompt,
+                                    cache_dtype=cache_dtype)
+        _, dcache, _ = prefill(draft, dvars, prompt, cache_dtype=cache_dtype)
+        first = jnp.argmax(tlog[0], -1).astype(jnp.int32)
+        out = jnp.zeros((n_new + k + 1,), jnp.int32)
+        out = out.at[0].set(first)
+
+        def round_body(carry):
+            out, count, last, tcache, dcache, pos = carry
+
+            def draft_step(c, _):
+                tok, dc, p = c
+                logits, dc = draft.apply(dvars, tok[None, None], cache=dc,
+                                         cache_index=p)
+                nxt = jnp.argmax(logits[0, -1], -1).astype(jnp.int32)
+                return (nxt, dc, p + 1), nxt
+
+            (_, dcache, _), d = jax.lax.scan(
+                draft_step, (last, dcache, pos), None, length=k)
+
+            v = jnp.concatenate([last[None], d[: k - 1]])
+            logits, tcache = target.apply(tvars, v[None, :], cache=tcache,
+                                          cache_index=pos)
+            g = jnp.argmax(logits[0], -1).astype(jnp.int32)  # (k,)
+            m = jnp.sum(jnp.cumprod((d == g).astype(jnp.int32)))
+            len_e = jnp.minimum(m + 1, k)
+            # write the full k-vector; positions beyond len_e hold garbage
+            # that the NEXT round's write (starting at count + len_e)
+            # overwrites before it can ever be read
+            out = jax.lax.dynamic_update_slice(out, g, (count,))
+            last = g[len_e - 1]
+            return (out, count + len_e, last, tcache, dcache, pos + len_e)
+
+        def cond(carry):
+            return carry[1] < n_new
+
+        out, *_ = jax.lax.while_loop(
+            cond, round_body,
+            (out, jnp.asarray(1, jnp.int32), first, tcache, dcache, pos))
+        return out[:n_new][None, :]
+
+    return jax.jit(generate) if jit else generate

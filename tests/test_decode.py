@@ -339,3 +339,71 @@ def test_decode_engine_warmup(qat_setup):
         eng.warmup()
         warm = eng.submit(p, 4).result(timeout=300)
     np.testing.assert_array_equal(cold, warm)
+
+
+class TestSpeculative:
+    """Greedy speculative decoding must reproduce the target's plain greedy
+    decode EXACTLY — with a perfect draft (the target itself, 100%
+    acceptance), a weak draft (random weights, near-zero acceptance), and a
+    plausible draft (shallower model) — across k values."""
+
+    @pytest.fixture(scope="class")
+    def models(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        target = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=2,
+                                    num_heads=HEADS, qconfig=qc, max_len=32)
+        draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1,
+                                   num_heads=2, qconfig=qc, max_len=32)
+        r = np.random.RandomState(20)
+        tok = jnp.asarray(r.randint(0, VOCAB, (1, 6)))
+        tvars = disable_observer(target.init(jax.random.key(5), tok,
+                                             training=False))
+        dvars = disable_observer(draft.init(jax.random.key(6), tok,
+                                            training=False))
+        return target, tvars, draft, dvars, tok
+
+    @pytest.mark.parametrize("k", [1, 3, 5])
+    def test_weak_draft_exact(self, models, k):
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, draft, dvars, tok = models
+        n_new = 10
+        want = np.asarray(make_generate(target, 6, n_new)(tvars, tok))
+        spec = make_speculative_generate(target, draft, 6, n_new, k=k)
+        got = np.asarray(spec(tvars, dvars, tok))
+        np.testing.assert_array_equal(got, want)
+
+    def test_perfect_draft_exact(self, models):
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, _, _, tok = models
+        n_new = 12
+        want = np.asarray(make_generate(target, 6, n_new)(tvars, tok))
+        spec = make_speculative_generate(target, target, 6, n_new, k=4)
+        got = np.asarray(spec(tvars, tvars, tok))
+        np.testing.assert_array_equal(got, want)
+
+    def test_serve_mode_exact(self, models):
+        """Speculative over CONVERTED int8 serving variables (the production
+        configuration: int8 target + int8 draft)."""
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, draft, dvars, tok = models
+        qc = target.qconfig
+        st = dataclasses.replace(target, qconfig=qc.for_serving("none", "xla"))
+        sd = dataclasses.replace(draft, qconfig=qc.for_serving("none", "xla"))
+        stv, sdv = convert(tvars, qc), convert(dvars, qc)
+        n_new = 8
+        want = np.asarray(make_generate(st, 6, n_new)(stv, tok))
+        got = np.asarray(make_speculative_generate(st, sd, 6, n_new, k=3)(
+            stv, sdv, tok))
+        np.testing.assert_array_equal(got, want)
+
+    def test_headroom_guard(self, models):
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, _, draft, _, _ = models
+        with pytest.raises(ValueError, match="headroom"):
+            make_speculative_generate(target, draft, 6, 25, k=4)
