@@ -75,13 +75,13 @@ def train(model, steps, batch, seed):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--k", type=int, default=4)
-    ap.add_argument("--n-new", type=int, default=96)
+    ap.add_argument("--n-new", type=int, default=256)
     args = ap.parse_args()
 
     qc = default_qconfig(8, 8, init_batches=4)
-    target = QuantTransformerLM(vocab=VOCAB, dim=512, depth=4, num_heads=8,
+    target = QuantTransformerLM(vocab=VOCAB, dim=1024, depth=4, num_heads=8,
                                 qconfig=qc, max_len=T + args.n_new + args.k)
     draft = QuantTransformerLM(vocab=VOCAB, dim=128, depth=1, num_heads=2,
                                qconfig=qc, max_len=T + args.n_new + args.k)
@@ -100,12 +100,14 @@ def main():
     prompt = jnp.asarray(prompt)
 
     plain = make_generate(st, 32, args.n_new)
-    spec = make_speculative_generate(st, sd, 32, args.n_new, k=args.k)
+    spec = make_speculative_generate(st, sd, 32, args.n_new, k=args.k,
+                                     return_stats=True)
 
     want = np.asarray(plain(sv_t, prompt))
-    got = np.asarray(spec(sv_t, sv_d, prompt))
-    assert (want == got).all(), "speculative must equal greedy"
-    print("exactness: speculative == plain greedy", flush=True)
+    got, stats = spec(sv_t, sv_d, prompt)
+    assert (want == np.asarray(got)).all(), "speculative must equal greedy"
+    acc = float(stats["accepted_per_round"])
+    print(f"exactness ok; accepted/round = {acc:.2f} (k={args.k})", flush=True)
 
     def best_time(fn, *a, rounds=5):
         np.asarray(fn(*a))
@@ -117,9 +119,10 @@ def main():
         return min(ts)
 
     tp = best_time(plain, sv_t, prompt)
-    ts_ = best_time(spec, sv_t, sv_d, prompt)
+    ts_ = best_time(lambda *a: spec(*a)[0], sv_t, sv_d, prompt)
     res = {
-        "target": "d512x4 int8", "draft": "d128x1 int8",
+        "accepted_per_round": round(acc, 2),
+        "target": "d1024x4 int8", "draft": "d128x1 int8",
         "train_steps": args.steps, "k": args.k, "n_new": args.n_new,
         "plain_ms": round(tp * 1e3, 1), "spec_ms": round(ts_ * 1e3, 1),
         "speedup": round(tp / ts_, 2),

@@ -438,6 +438,7 @@ class DecodeEngine:
 
 def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
                               k: int = 4, cache_dtype=jnp.float32,
+                              return_stats: bool = False,
                               jit: bool = True):
     """Greedy speculative decoding: a cheap ``draft`` LM proposes ``k``
     tokens per round, the ``target`` verifies them in ONE forward (k
@@ -483,7 +484,7 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
         out = out.at[0].set(first)
 
         def round_body(carry):
-            out, count, last, tcache, dcache, pos = carry
+            out, count, last, tcache, dcache, pos, rounds = carry
 
             def draft_step(c, _):
                 tok, dc, p = c
@@ -506,14 +507,22 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
             # overwrites before it can ever be read
             out = jax.lax.dynamic_update_slice(out, g, (count,))
             last = g[len_e - 1]
-            return (out, count + len_e, last, tcache, dcache, pos + len_e)
+            return (out, count + len_e, last, tcache, dcache, pos + len_e,
+                    rounds + 1)
 
         def cond(carry):
             return carry[1] < n_new
 
-        out, *_ = jax.lax.while_loop(
+        out, count, _, _, _, _, rounds = jax.lax.while_loop(
             cond, round_body,
-            (out, jnp.asarray(1, jnp.int32), first, tcache, dcache, pos))
-        return out[:n_new][None, :]
+            (out, jnp.asarray(1, jnp.int32), first, tcache, dcache, pos,
+             jnp.asarray(0, jnp.int32)))
+        toks = out[:n_new][None, :]
+        if return_stats:
+            # mean accepted tokens per verify round (k+? -> speedup ceiling)
+            return toks, {"rounds": rounds,
+                          "accepted_per_round": (count - 1) / jnp.maximum(
+                              rounds, 1)}
+        return toks
 
     return jax.jit(generate) if jit else generate
