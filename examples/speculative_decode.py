@@ -36,7 +36,11 @@ def corpus_batch(key, batch):
     deterministic enough that both models learn the same continuations."""
     k1, k2 = jax.random.split(key)
     start = jax.random.randint(k1, (batch, 1), 0, VOCAB)
-    noise = jax.random.randint(k2, (batch, T), 0, 4)
+    # mostly-deterministic chain (a branch every ~10 steps): the draft can
+    # actually track the target's greedy choices, which is the premise of
+    # speculative decoding (acceptance == draft quality, not a property of
+    # the method)
+    noise = (jax.random.randint(k2, (batch, T), 0, 10) == 0).astype(jnp.int32)
 
     def step(tok, n):
         nxt = (3 * tok + n) % VOCAB
