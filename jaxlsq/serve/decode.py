@@ -504,8 +504,14 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
             len_e = jnp.minimum(m + 1, k)
             # write the full k-vector; positions beyond len_e hold garbage
             # that the NEXT round's write (starting at count + len_e)
-            # overwrites before it can ever be read
-            out = jax.lax.dynamic_update_slice(out, g, (count,))
+            # overwrites before it can ever be read.  The count < n_new
+            # guard makes the generator vmap-safe: under vmap the while_loop
+            # keeps stepping finished lanes until every lane is done, and an
+            # unguarded write with count past the buffer end would clamp
+            # backwards onto valid tokens.
+            out = jnp.where(count < n_new,
+                            jax.lax.dynamic_update_slice(out, g, (count,)),
+                            out)
             last = g[len_e - 1]
             return (out, count + len_e, last, tcache, dcache, pos + len_e,
                     rounds + 1)

@@ -407,3 +407,29 @@ class TestSpeculative:
         target, _, draft, _, _ = models
         with pytest.raises(ValueError, match="headroom"):
             make_speculative_generate(target, draft, 6, 25, k=4)
+
+
+def test_speculative_vmap_batch(qat_setup):
+    """Batched speculative decode via vmap over the whole generator: each
+    lane must equal its own B=1 run even though lanes finish at different
+    verify-round counts (the while_loop keeps stepping finished lanes)."""
+    from jaxlsq.models.toggles import disable_observer
+    from jaxlsq.serve.decode import make_speculative_generate
+
+    qc = default_qconfig(8, 8, init_batches=1)
+    target = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=2,
+                                num_heads=HEADS, qconfig=qc, max_len=32)
+    draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1, num_heads=2,
+                               qconfig=qc, max_len=32)
+    r = np.random.RandomState(30)
+    tok = jnp.asarray(r.randint(0, VOCAB, (1, 6)))
+    tvars = disable_observer(target.init(jax.random.key(7), tok, training=False))
+    dvars = disable_observer(draft.init(jax.random.key(8), tok, training=False))
+
+    gen = make_speculative_generate(target, draft, 6, 8, k=3, jit=False)
+    prompts = jnp.asarray(r.randint(0, VOCAB, (5, 1, 6)))  # 5 lanes of (1,6)
+    batched = jax.jit(jax.vmap(gen, in_axes=(None, None, 0)))
+    got = np.asarray(batched(tvars, dvars, prompts))
+    for i in range(5):
+        want = np.asarray(gen(tvars, dvars, prompts[i]))
+        np.testing.assert_array_equal(got[i], want)
