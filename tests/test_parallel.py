@@ -140,7 +140,7 @@ def test_fake_quant_under_shard_map(impl, per_channel):
     """Explicit-SPMD path (SURVEY.md §5): fake_quant's VJP inside shard_map
     over 'data', with dS/dB all-reduced by lax.psum and grad scaling on the
     GLOBAL numel, equals the unsharded global-batch result."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = make_mesh(data=8, model=1)
     spec = QuantSpec.make(8, signed=False, per_channel=per_channel, axis=1)
@@ -170,7 +170,7 @@ def test_fake_quant_under_shard_map(impl, per_channel):
         local, mesh=mesh,
         in_specs=(P("data"), P("data"), P(), P()),
         out_specs=(P("data"), P("data"), P(), P()),
-        check_rep=False)
+        check_vma=False)
     out, dx, ds, db = jax.jit(sm)(x, g, s, b)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
