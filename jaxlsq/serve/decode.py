@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["init_kv_cache", "prefill", "make_generate", "make_sampler",
-           "make_speculative_generate", "DecodeEngine"]
+           "make_speculative_generate", "DecodeEngine",
+           "SpeculativeDecodeEngine"]
 
 
 def make_sampler(temperature: float = 1.0, top_k: Optional[int] = None):
@@ -532,3 +533,199 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
         return toks
 
     return jax.jit(generate) if jit else generate
+
+
+class SpeculativeDecodeEngine:
+    """Token-level continuous batching WITH speculative decoding: every
+    dispatcher iteration advances all active slots by one draft-propose /
+    target-verify round (1..k+1 tokens each), instead of one token.
+
+    Combines the two serving mechanisms above: the per-slot vector
+    ``cache_index`` machinery (each slot at its own depth) and the
+    speculative round (draft scans k tokens, target verifies them in ONE
+    k-position forward).  Output per request is EXACTLY the target's greedy
+    decode.  Slots accept/retire at round boundaries.
+
+    Two global KV caches (target + draft), both with the
+    overwrite-before-first-exposure parking discipline; a parked slot's
+    verify writes land in its cache tail and are fully replaced by the next
+    admit's whole-slot prefill write.
+
+    Intended for B=1-latency-critical serving where a trained draft exists;
+    the plain ``DecodeEngine`` remains the fit when there is no draft.
+    """
+
+    def __init__(self, target, draft, target_vars, draft_vars, *,
+                 max_batch: int = 4, prompt_buckets: Sequence[int] = (32, 128),
+                 k: int = 4, cache_dtype=jnp.float32,
+                 max_wait_ms: float = 2.0):
+        if target.vocab != draft.vocab:
+            raise ValueError("target and draft must share a vocab")
+        self.target, self.draft = target, draft
+        self.tvars, self.dvars = target_vars, draft_vars
+        self.max_batch = max_batch
+        self.buckets = sorted(prompt_buckets)
+        self.k = k
+        self.max_len = min(target.max_len, draft.max_len)
+        self._tcache = init_kv_cache(target, max_batch, dtype=cache_dtype,
+                                     max_len=target.max_len)
+        self._dcache = init_kv_cache(draft, max_batch, dtype=cache_dtype,
+                                     max_len=draft.max_len)
+        park = self.max_len - k - 1
+        self._pos = jnp.full((max_batch,), park, jnp.int32)
+        self._park = park
+        self._tok = jnp.zeros((max_batch,), jnp.int32)
+
+        def _prefill_insert(tvars, dvars, tcache, dcache, prompt, true_len,
+                            slot):
+            def one(model, variables, cache):
+                sc = jax.tree.map(
+                    lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
+                logits, sc = model.apply(variables, prompt, cache=sc,
+                                         cache_index=jnp.zeros((), jnp.int32))
+                new = jax.tree.map(
+                    lambda g, s: jax.lax.dynamic_update_slice(
+                        g, s.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)),
+                    cache, sc)
+                return logits, new
+
+            tlogits, tcache = one(self.target, tvars, tcache)
+            _, dcache = one(self.draft, dvars, dcache)
+            last = jax.lax.dynamic_index_in_dim(tlogits[0], true_len - 1,
+                                                axis=0, keepdims=False)
+            first = jnp.argmax(last, -1).astype(jnp.int32)
+            return tcache, dcache, first
+
+        kk = self.k
+
+        def _round(tvars, dvars, tcache, dcache, last, pos):
+            def draft_step(c, _):
+                tok, dc, p = c
+                logits, dc = self.draft.apply(dvars, tok[:, None], cache=dc,
+                                              cache_index=p)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                return (nxt, dc, p + 1), nxt
+
+            (_, dcache, _), d = jax.lax.scan(
+                draft_step, (last, dcache, pos), None, length=kk)
+            d = d.T  # (B, k)
+            v = jnp.concatenate([last[:, None], d[:, : kk - 1]], axis=1)
+            logits, tcache = self.target.apply(tvars, v, cache=tcache,
+                                               cache_index=pos)
+            g = jnp.argmax(logits, -1).astype(jnp.int32)        # (B, k)
+            m = jnp.sum(jnp.cumprod((d == g).astype(jnp.int32), axis=1),
+                        axis=1)                                  # (B,)
+            len_e = jnp.minimum(m + 1, kk)
+            last = jnp.take_along_axis(g, (len_e - 1)[:, None], 1)[:, 0]
+            pos = jnp.minimum(pos + len_e, self._park)
+            return tcache, dcache, g, len_e, last, pos
+
+        self._prefill_fn = jax.jit(_prefill_insert, donate_argnums=(2, 3))
+        self._round_fn = jax.jit(_round, donate_argnums=(2, 3))
+
+        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
+        self._slots: list = [None] * max_batch
+        self._lifecycle_lock = threading.Lock()
+        self._stop = False
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, prompt, n_new: int) -> Future:
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim != 1 or prompt.size == 0:
+            raise ValueError("prompt must be a non-empty 1-D token array")
+        if prompt.size > self.buckets[-1]:
+            raise ValueError(f"prompt length {prompt.size} exceeds the "
+                             f"largest bucket {self.buckets[-1]}")
+        if prompt.size + n_new + self.k > self.max_len:
+            raise ValueError("prompt + n_new + k exceeds max_len "
+                             "(speculative verification headroom)")
+        req = _GenRequest(prompt, n_new)
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError("SpeculativeDecodeEngine is closed")
+            self._queue.put(req)
+        return req.future
+
+    def close(self):
+        with self._lifecycle_lock:
+            self._stop = True
+        self._thread.join(timeout=300)
+        if not self._thread.is_alive():
+            self._fail_pending(RuntimeError("SpeculativeDecodeEngine closed"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    _fail_pending = DecodeEngine._fail_pending
+    _drain_queue = DecodeEngine._drain_queue
+
+    def _admit(self, req: _GenRequest, slot: int):
+        b = next(b for b in self.buckets if b >= req.prompt.size)
+        padded = np.zeros((1, b), np.int32)
+        padded[0, : req.prompt.size] = req.prompt
+        self._tcache, self._dcache, first = self._prefill_fn(
+            self.tvars, self.dvars, self._tcache, self._dcache,
+            jnp.asarray(padded), req.prompt.size, slot)
+        self._tok = self._tok.at[slot].set(first)
+        self._pos = self._pos.at[slot].set(req.prompt.size)
+        req.tokens.append(int(first))
+        req.slot = slot
+        self._slots[slot] = req
+        self.stats["requests"] += 1
+
+    def _retire_done(self):
+        for slot, req in enumerate(self._slots):
+            if req is not None and len(req.tokens) >= req.n_new:
+                if not req.future.done():
+                    req.future.set_result(
+                        np.asarray(req.tokens[: req.n_new], np.int32))
+                self._slots[slot] = None
+                self._pos = self._pos.at[slot].set(self._park)
+
+    def _loop(self):
+        while True:
+            if self._stop:
+                self._fail_pending(
+                    RuntimeError("SpeculativeDecodeEngine closed"))
+                return
+            for slot in range(self.max_batch):
+                if self._slots[slot] is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit(req, slot)
+                    except Exception as e:  # pragma: no cover
+                        req.future.set_exception(e)
+            self._retire_done()
+            active = [s for s in self._slots if s is not None]
+            if not active:
+                time.sleep(self.max_wait_s)
+                continue
+            try:
+                (self._tcache, self._dcache, g, len_e, self._tok,
+                 self._pos) = self._round_fn(
+                    self.tvars, self.dvars, self._tcache, self._dcache,
+                    self._tok, self._pos)
+                g_np, len_np = np.asarray(g), np.asarray(len_e)
+            except Exception as e:
+                self._fail_pending(e)
+                with self._lifecycle_lock:
+                    self._stop = True
+                return
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                for j in range(int(len_np[slot])):
+                    if len(req.tokens) < req.n_new:
+                        req.tokens.append(int(g_np[slot, j]))
+                self.stats["accepted_tokens"] += int(len_np[slot])
+            self.stats["rounds"] += 1
+            self._retire_done()

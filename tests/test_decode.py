@@ -433,3 +433,86 @@ def test_speculative_vmap_batch(qat_setup):
     for i in range(5):
         want = np.asarray(gen(tvars, dvars, prompts[i]))
         np.testing.assert_array_equal(got[i], want)
+
+
+class TestSpeculativeEngine:
+    """Continuous batching + speculative decoding combined: every round
+    advances all active slots by 1..k+1 verified tokens, and each request
+    still reproduces the target's plain greedy decode exactly."""
+
+    @pytest.fixture(scope="class")
+    def models(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        target = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=2,
+                                    num_heads=HEADS, qconfig=qc, max_len=32)
+        draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=32)
+        r = np.random.RandomState(40)
+        tok = jnp.asarray(r.randint(0, VOCAB, (1, 6)))
+        tvars = disable_observer(target.init(jax.random.key(9), tok,
+                                             training=False))
+        dvars = disable_observer(draft.init(jax.random.key(10), tok,
+                                            training=False))
+        return target, tvars, draft, dvars
+
+    def _greedy(self, model, variables, prompt, n_new):
+        last, cache, idx = prefill(model, variables, jnp.asarray(prompt)[None])
+        tok = jnp.argmax(last, -1).astype(jnp.int32)
+        toks = [int(tok[0])]
+        for _ in range(n_new - 1):
+            logits, cache = model.apply(variables, tok[:, None], cache=cache,
+                                        cache_index=idx)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+            idx = idx + 1
+        return np.asarray(toks[:n_new], np.int32)
+
+    def test_staggered_exact(self, models):
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars = models
+        r = np.random.RandomState(41)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 7)),
+                 int(r.randint(2, 8))) for _ in range(6)]
+        with SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                     max_batch=3, prompt_buckets=(4, 8),
+                                     k=3) as eng:
+            futs = []
+            for i, (p, n) in enumerate(reqs):
+                futs.append(eng.submit(p, n))
+                if i % 2 == 1:
+                    time.sleep(0.05)
+            outs = [f.result(timeout=600) for f in futs]
+            stats = dict(eng.stats)
+        assert stats["requests"] == len(reqs)
+        assert stats["rounds"] >= 1
+        for (p, n), got in zip(reqs, outs):
+            np.testing.assert_array_equal(got, self._greedy(target, tvars, p, n))
+
+    def test_perfect_draft_engine(self, models):
+        """target as its own draft: every round accepts k tokens."""
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, _, _ = models
+        r = np.random.RandomState(42)
+        p = r.randint(0, VOCAB, size=5)
+        with SpeculativeDecodeEngine(target, target, tvars, tvars,
+                                     max_batch=2, prompt_buckets=(8,),
+                                     k=4) as eng:
+            out = eng.submit(p, 9).result(timeout=600)
+            stats = dict(eng.stats)
+        np.testing.assert_array_equal(out, self._greedy(target, tvars, p, 9))
+        # 8 post-first tokens at k+1=5/round -> 2 rounds (not 8)
+        assert stats["rounds"] <= 3
+
+    def test_headroom_guard(self, models):
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars = models
+        with SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                     max_batch=2, prompt_buckets=(8,),
+                                     k=4) as eng:
+            with pytest.raises(ValueError, match="headroom"):
+                eng.submit(np.zeros(8, np.int32), 25)
