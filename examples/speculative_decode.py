@@ -7,7 +7,7 @@ random-weight models would show nothing; this trains both on a small
 procedural corpus (token sequences from a seeded Markov chain) until the
 draft predicts the target's continuations often enough to matter.
 
-  python examples/speculative_decode.py [--steps 400]
+  python examples/speculative_decode.py [--steps 1200]
 """
 
 import argparse

@@ -454,10 +454,13 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
       before attending to it — the same overwrite-before-first-exposure
       invariant DecodeEngine's parked slots rely on — so "rewind" is just
       "don't advance the position".
-    * the emit buffer is padded by k+1 so each round can write its full
-      k-vector (garbage beyond the accepted length is overwritten by the
-      next round's write); a ``lax.while_loop`` runs rounds until n_new
-      tokens are emitted.
+    * each round verifies k+1 positions (the k draft tokens AND the bonus
+      position after them), accepting 1..k+1 tokens; the draft runs one
+      extra step to consume its own k-th proposal so its cache never holds
+      an unwritten row.  The emit buffer is padded by k+1 so each round can
+      write its full (k+1)-vector (garbage beyond the accepted length is
+      overwritten by the next round's write); a ``lax.while_loop`` runs
+      rounds until n_new tokens are emitted.
 
     Requires ``prompt_len + n_new + k <= min(target.max_len,
     draft.max_len)`` (verification headroom) and matching vocab.  B = 1
@@ -467,6 +470,8 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
     Returns ``generate(target_vars, draft_vars, prompt(1, prompt_len)) ->
     (1, n_new) int32``.
     """
+    if k < 1:
+        raise ValueError("k must be >= 1 (k draft tokens per verify round)")
     if target.vocab != draft.vocab:
         raise ValueError("target and draft must share a vocab")
     if prompt_len + n_new + k > min(target.max_len, draft.max_len):
@@ -494,18 +499,22 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
                 nxt = jnp.argmax(logits[0, -1], -1).astype(jnp.int32)
                 return (nxt, dc, p + 1), nxt
 
-            (_, dcache, _), d = jax.lax.scan(
-                draft_step, (last, dcache, pos), None, length=k)
+            # k+1 draft steps: k proposals, plus consuming d_k so the draft
+            # cache row for it exists if all k are accepted (its extra
+            # proposal is discarded)
+            (_, dcache, _), d_all = jax.lax.scan(
+                draft_step, (last, dcache, pos), None, length=k + 1)
+            d = d_all[:k]
 
-            v = jnp.concatenate([last[None], d[: k - 1]])
+            v = jnp.concatenate([last[None], d])      # (k+1,)
             logits, tcache = target.apply(tvars, v[None, :], cache=tcache,
                                           cache_index=pos)
-            g = jnp.argmax(logits[0], -1).astype(jnp.int32)  # (k,)
-            m = jnp.sum(jnp.cumprod((d == g).astype(jnp.int32)))
-            len_e = jnp.minimum(m + 1, k)
-            # write the full k-vector; positions beyond len_e hold garbage
-            # that the NEXT round's write (starting at count + len_e)
-            # overwrites before it can ever be read.  The count < n_new
+            g = jnp.argmax(logits[0], -1).astype(jnp.int32)  # (k+1,)
+            m = jnp.sum(jnp.cumprod((d == g[:k]).astype(jnp.int32)))
+            len_e = m + 1                                     # 1..k+1
+            # write the full (k+1)-vector; positions beyond len_e hold
+            # garbage that the NEXT round's write (starting at count +
+            # len_e) overwrites before it can ever be read.  The count < n_new
             # guard makes the generator vmap-safe: under vmap the while_loop
             # keeps stepping finished lanes until every lane is done, and an
             # unguarded write with count past the buffer end would clamp
@@ -526,7 +535,9 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
              jnp.asarray(0, jnp.int32)))
         toks = out[:n_new][None, :]
         if return_stats:
-            # mean accepted tokens per verify round (k+? -> speedup ceiling)
+            # mean accepted tokens per verify round (the speedup ceiling).
+            # Only meaningful UNBATCHED: under vmap, finished lanes keep
+            # stepping until all lanes complete, inflating their counters.
             return toks, {"rounds": rounds,
                           "accepted_per_round": (count - 1) / jnp.maximum(
                               rounds, 1)}
@@ -559,6 +570,8 @@ class SpeculativeDecodeEngine:
                  max_batch: int = 4, prompt_buckets: Sequence[int] = (32, 128),
                  k: int = 4, cache_dtype=jnp.float32,
                  max_wait_ms: float = 2.0):
+        if k < 1:
+            raise ValueError("k must be >= 1")
         if target.vocab != draft.vocab:
             raise ValueError("target and draft must share a vocab")
         self.target, self.draft = target, draft
@@ -571,7 +584,7 @@ class SpeculativeDecodeEngine:
                                      max_len=target.max_len)
         self._dcache = init_kv_cache(draft, max_batch, dtype=cache_dtype,
                                      max_len=draft.max_len)
-        park = self.max_len - k - 1
+        park = self.max_len - k - 2  # verify+draft write k+1 rows from pos
         self._pos = jnp.full((max_batch,), park, jnp.int32)
         self._park = park
         self._tok = jnp.zeros((max_batch,), jnp.int32)
@@ -606,16 +619,16 @@ class SpeculativeDecodeEngine:
                 nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                 return (nxt, dc, p + 1), nxt
 
-            (_, dcache, _), d = jax.lax.scan(
-                draft_step, (last, dcache, pos), None, length=kk)
-            d = d.T  # (B, k)
-            v = jnp.concatenate([last[:, None], d[:, : kk - 1]], axis=1)
+            (_, dcache, _), d_all = jax.lax.scan(
+                draft_step, (last, dcache, pos), None, length=kk + 1)
+            d = d_all.T[:, :kk]  # (B, k); extra step consumed d_k's k/v
+            v = jnp.concatenate([last[:, None], d], axis=1)     # (B, k+1)
             logits, tcache = self.target.apply(tvars, v, cache=tcache,
                                                cache_index=pos)
-            g = jnp.argmax(logits, -1).astype(jnp.int32)        # (B, k)
-            m = jnp.sum(jnp.cumprod((d == g).astype(jnp.int32), axis=1),
-                        axis=1)                                  # (B,)
-            len_e = jnp.minimum(m + 1, kk)
+            g = jnp.argmax(logits, -1).astype(jnp.int32)        # (B, k+1)
+            m = jnp.sum(jnp.cumprod((d == g[:, :kk]).astype(jnp.int32),
+                                    axis=1), axis=1)             # (B,)
+            len_e = m + 1                                        # 1..k+1
             last = jnp.take_along_axis(g, (len_e - 1)[:, None], 1)[:, 0]
             pos = jnp.minimum(pos + len_e, self._park)
             return tcache, dcache, g, len_e, last, pos
@@ -626,6 +639,7 @@ class SpeculativeDecodeEngine:
         self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
         self._slots: list = [None] * max_batch
         self._lifecycle_lock = threading.Lock()
+        self._state_lock = threading.Lock()  # dispatcher iteration vs warmup
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0}
@@ -639,8 +653,8 @@ class SpeculativeDecodeEngine:
         if prompt.size > self.buckets[-1]:
             raise ValueError(f"prompt length {prompt.size} exceeds the "
                              f"largest bucket {self.buckets[-1]}")
-        if prompt.size + n_new + self.k > self.max_len:
-            raise ValueError("prompt + n_new + k exceeds max_len "
+        if prompt.size + n_new + self.k + 1 > self.max_len:
+            raise ValueError("prompt + n_new + k + 1 exceeds max_len "
                              "(speculative verification headroom)")
         req = _GenRequest(prompt, n_new)
         with self._lifecycle_lock:
@@ -648,6 +662,30 @@ class SpeculativeDecodeEngine:
                 raise RuntimeError("SpeculativeDecodeEngine is closed")
             self._queue.put(req)
         return req.future
+
+    def warmup(self):
+        """Compile the round program and one prefill per bucket up front.
+        Must run before requests are in flight (it resets both caches)."""
+        with self._state_lock:
+            return self._warmup_locked()
+
+    def _warmup_locked(self):
+        if any(slot is not None for slot in self._slots):
+            raise RuntimeError("warmup() must run before requests are in "
+                               "flight (it resets the KV caches)")
+        zeros = jnp.zeros((self.max_batch,), jnp.int32)
+        tcache, dcache, *_ = self._round_fn(
+            self.tvars, self.dvars, self._tcache, self._dcache, zeros,
+            self._pos)
+        for b in self.buckets:
+            tcache, dcache, first = self._prefill_fn(
+                self.tvars, self.dvars, tcache, dcache,
+                jnp.zeros((1, b), jnp.int32), 1, 0)
+            jax.block_until_ready(first)
+        self._tcache = jax.tree.map(jnp.zeros_like, tcache)
+        self._dcache = jax.tree.map(jnp.zeros_like, dcache)
+        self._pos = jnp.full((self.max_batch,), self._park, jnp.int32)
+        return None
 
     def close(self):
         with self._lifecycle_lock:
@@ -694,6 +732,7 @@ class SpeculativeDecodeEngine:
                 self._fail_pending(
                     RuntimeError("SpeculativeDecodeEngine closed"))
                 return
+            self._state_lock.acquire()
             for slot in range(self.max_batch):
                 if self._slots[slot] is None:
                     try:
@@ -707,6 +746,7 @@ class SpeculativeDecodeEngine:
             self._retire_done()
             active = [s for s in self._slots if s is not None]
             if not active:
+                self._state_lock.release()
                 time.sleep(self.max_wait_s)
                 continue
             try:
@@ -716,9 +756,10 @@ class SpeculativeDecodeEngine:
                     self._tok, self._pos)
                 g_np, len_np = np.asarray(g), np.asarray(len_e)
             except Exception as e:
-                self._fail_pending(e)
                 with self._lifecycle_lock:
-                    self._stop = True
+                    self._stop = True  # before draining: no post-drain enqueue
+                self._fail_pending(e)
+                self._state_lock.release()
                 return
             for slot, req in enumerate(self._slots):
                 if req is None:
@@ -726,6 +767,7 @@ class SpeculativeDecodeEngine:
                 for j in range(int(len_np[slot])):
                     if len(req.tokens) < req.n_new:
                         req.tokens.append(int(g_np[slot, j]))
-                self.stats["accepted_tokens"] += int(len_np[slot])
+                        self.stats["accepted_tokens"] += 1
             self.stats["rounds"] += 1
             self._retire_done()
+            self._state_lock.release()

@@ -504,8 +504,8 @@ class TestSpeculativeEngine:
             out = eng.submit(p, 9).result(timeout=600)
             stats = dict(eng.stats)
         np.testing.assert_array_equal(out, self._greedy(target, tvars, p, 9))
-        # 8 post-first tokens at k+1=5/round -> 2 rounds (not 8)
-        assert stats["rounds"] <= 3
+        # 8 post-first tokens at k+1=5 accepted/round -> 2 rounds
+        assert stats["rounds"] <= 2
 
     def test_headroom_guard(self, models):
         from jaxlsq.serve.decode import SpeculativeDecodeEngine
