@@ -68,6 +68,12 @@ bool map_npy(const std::string& path, Mapped* out, std::string* err) {
   size_t hlen, hoff;
   if (major == 1) { hlen = p[8] | (p[9] << 8); hoff = 10; }
   else { hlen = p[8] | (p[9] << 8) | ((size_t)p[10] << 16) | ((size_t)p[11] << 24); hoff = 12; }
+  // A corrupt/truncated header length must be rejected BEFORE building the
+  // header string (and before the payload check below, whose size_t
+  // subtraction would underflow if hoff + hlen exceeded the file).
+  if (hoff + hlen > n) {
+    munmap(m, n); *err = "truncated npy header: " + path; return false;
+  }
   std::string hdr((const char*)p + hoff, hlen);
   if (hdr.find("'fortran_order': False") == std::string::npos) {
     munmap(m, n); *err = "fortran-order npy unsupported: " + path; return false;
@@ -100,7 +106,9 @@ bool map_npy(const std::string& path, Mapped* out, std::string* err) {
   out->data = p + hoff + hlen;
   out->rows = dims[0];
   out->row_bytes = row_elems * itemsize;
-  if ((size_t)(out->rows * out->row_bytes) > n - hoff - hlen) {
+  size_t payload = n - hoff - hlen;  // checked non-negative above
+  if (out->rows < 0 || out->row_bytes <= 0 ||
+      (uint64_t)out->rows > payload / (uint64_t)out->row_bytes) {
     munmap(m, n); *err = "truncated npy: " + path; return false;
   }
   return true;

@@ -157,6 +157,10 @@ class NativeShardLoader:
 
     def next(self):
         """Next batch as fresh numpy arrays: x or (x, y)."""
+        if self._h is None:
+            # jl_next's c_void_p argtype would happily pass NULL into the C
+            # library (unconditional deref = segfault); fail as a Python error
+            raise RuntimeError("NativeShardLoader is closed")
         x = np.empty(self.x_shape, self.x_dtype)
         y = np.empty(self.y_shape, self.y_dtype) if self._has_y else None
         rc = self._lib.jl_next(
@@ -172,6 +176,8 @@ class NativeShardLoader:
 
     @property
     def delivered(self) -> int:
+        if self._h is None:
+            raise RuntimeError("NativeShardLoader is closed")
         return self._lib.jl_delivered(self._h)
 
     def close(self):

@@ -124,8 +124,9 @@ def make_generate(model, prompt_len: int, n_new: int, *,
         lambda logits, *a: jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
     def generate(variables, prompt: jnp.ndarray, key=None) -> jnp.ndarray:
-        assert prompt.shape[1] == prompt_len, (
-            f"prompt length {prompt.shape[1]} != compiled {prompt_len}")
+        if prompt.shape[1] != prompt_len:
+            raise ValueError(
+                f"prompt length {prompt.shape[1]} != compiled {prompt_len}")
         last_logits, cache, index = prefill(model, variables, prompt,
                                             cache_dtype=cache_dtype)
         if sampled:
@@ -332,9 +333,20 @@ class DecodeEngine:
             # the dispatcher fails pending work itself on observing _stop;
             # this only mops up anything enqueued after its last check
             self._fail_pending(RuntimeError("DecodeEngine closed"))
-        # if the thread is still alive (e.g. stuck in a first compile), do
-        # NOT fail slot futures: the dispatcher would later set_result on a
-        # done Future (InvalidStateError) and die holding the state lock
+        else:
+            # dispatcher stuck (e.g. in a first compile): don't set_exception
+            # on slot futures — the dispatcher would later set_result on a
+            # done Future (InvalidStateError) and die holding the state lock.
+            # Future.cancel() is safe: callers' result() raises
+            # CancelledError immediately instead of blocking to their own
+            # timeout, and the dispatcher's set_result on a cancelled Future
+            # is a no-op (guarded by future.done()).
+            self._cancel_pending()
+
+    def _cancel_pending(self):
+        for req in list(self._slots) + self._drain_queue():
+            if req is not None and not req.future.done():
+                req.future.cancel()
 
     def __enter__(self):
         return self
@@ -403,7 +415,8 @@ class DecodeEngine:
                     try:
                         self._admit(req, slot)
                     except Exception as e:  # pragma: no cover
-                        req.future.set_exception(e)
+                        if not req.future.done():  # may be cancelled
+                            req.future.set_exception(e)
             self._retire_done()
             active = [s for s in self._slots if s is not None]
             if not active:
@@ -481,7 +494,9 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
             "(speculative verification needs k tokens of cache headroom)")
 
     def generate(tvars, dvars, prompt):
-        assert prompt.shape == (1, prompt_len), "speculative decode is B=1"
+        if prompt.shape != (1, prompt_len):
+            raise ValueError(f"speculative decode is B=1: prompt shape "
+                             f"{prompt.shape} != (1, {prompt_len})")
         tlog, tcache, pos = prefill(target, tvars, prompt,
                                     cache_dtype=cache_dtype)
         _, dcache, _ = prefill(draft, dvars, prompt, cache_dtype=cache_dtype)
@@ -574,6 +589,14 @@ class SpeculativeDecodeEngine:
             raise ValueError("k must be >= 1")
         if target.vocab != draft.vocab:
             raise ValueError("target and draft must share a vocab")
+        if k + 2 >= min(target.max_len, draft.max_len):
+            # the parked position max_len - k - 2 must stay positive, or the
+            # jnp.minimum(pos + len_e, park) clamp in _round would drag
+            # ACTIVE slots' positions backward (silent state corruption)
+            raise ValueError(
+                f"k = {k} too large for max_len = "
+                f"{min(target.max_len, draft.max_len)}: need k + 2 < max_len "
+                "(k+1 verify rows plus a parked row must fit)")
         self.target, self.draft = target, draft
         self.tvars, self.dvars = target_vars, draft_vars
         self.max_batch = max_batch
@@ -693,6 +716,8 @@ class SpeculativeDecodeEngine:
         self._thread.join(timeout=300)
         if not self._thread.is_alive():
             self._fail_pending(RuntimeError("SpeculativeDecodeEngine closed"))
+        else:
+            self._cancel_pending()  # see DecodeEngine.close
 
     def __enter__(self):
         return self
@@ -702,6 +727,7 @@ class SpeculativeDecodeEngine:
 
     _fail_pending = DecodeEngine._fail_pending
     _drain_queue = DecodeEngine._drain_queue
+    _cancel_pending = DecodeEngine._cancel_pending
 
     def _admit(self, req: _GenRequest, slot: int):
         b = next(b for b in self.buckets if b >= req.prompt.size)
@@ -742,7 +768,8 @@ class SpeculativeDecodeEngine:
                     try:
                         self._admit(req, slot)
                     except Exception as e:  # pragma: no cover
-                        req.future.set_exception(e)
+                        if not req.future.done():  # may be cancelled
+                            req.future.set_exception(e)
             self._retire_done()
             active = [s for s in self._slots if s is not None]
             if not active:

@@ -391,14 +391,23 @@ def static_int8_conv(x: jnp.ndarray, packed: PackedWeight,
     to the float-simulated static path).
 
     NHWC input, HWIO packed weight (kh, kw, cin, cout), per-channel weight
-    qparams on the output-channel axis.  Weights must be SYMMETRIC
+    qparams on the output-channel axis.  For SYMMETRIC weights
     (zero_point ≡ 0 — always true for ``convert()`` output, since weight
-    quantizers are symmetric by contract); then::
+    quantizers are symmetric by contract)::
 
         out = sx·sw[c]·( conv_i32(x_q − 128·u, w_q) − zpx'·Σw_q[c] )
 
     where the activation recentre (uint8 ranges → int8 carrier) and the
     per-output-channel weight column-sum fold into a single epilogue.
+    AFFINE weights (zero_point ≠ 0, or a traced zero_point whose symmetry
+    cannot be checked under jit) take the full expansion — the cross term
+    ``zpw[c]·Σ_window x_q`` is a second integer conv against a ones kernel
+    (one output channel per group, broadcast across the group's outputs)::
+
+        out = sx·sw[c]·( acc − zpx'·Σw_q[c] − zpw[c]·(xwin − zpx'·kh·kw·cin_g) )
+
+    so the result is exact for ANY PackedWeight; symmetry is a fast path,
+    not a precondition.
     Padding uses the quantized representation of real 0.0 (= the integer
     zero-point), which makes SAME padding agree EXACTLY with the float
     path's 0.0 padding (integer zp ⇒ fq(0) = 0).
@@ -414,10 +423,11 @@ def static_int8_conv(x: jnp.ndarray, packed: PackedWeight,
     if act_scale.shape[0] != 1:
         raise ValueError("static activation qparams must be per-tensor")
     zpw = packed.zero_point
-    if not isinstance(zpw, jax.core.Tracer) and bool(jnp.any(zpw != 0)):
-        raise ValueError("static_int8_conv requires symmetric weights "
-                         "(zero_point == 0); affine conv weights must use "
-                         "the float-simulated static path")
+    # Symmetric weights skip the window-sum conv; a traced zero_point's
+    # symmetry is unknowable at trace time, so it takes the (always-exact)
+    # affine epilogue rather than silently assuming symmetry.
+    affine = (isinstance(zpw, jax.core.Tracer)
+              or bool(jnp.any(zpw != 0)))
     kh, kw, cin, cout = packed.orig_shape
     out_dtype = out_dtype or x.dtype
     xf = x.astype(jnp.float32)
@@ -455,11 +465,28 @@ def static_int8_conv(x: jnp.ndarray, packed: PackedWeight,
         preferred_element_type=jnp.int32,
     )
     sw = packed.scale.astype(jnp.float32)
+    zpw_f = zpw.astype(jnp.float32)
     if sw.shape[0] == 1:
         sw = jnp.broadcast_to(sw, (cout,))
+        zpw_f = jnp.broadcast_to(zpw_f, (cout,))
     wsum = jnp.sum(packed.data.astype(jnp.int32), axis=(0, 1, 2))  # (cout,)
     out = (acc.astype(jnp.float32)
            - zpx_c * wsum.astype(jnp.float32)[None, None, None, :])
+    if affine:
+        # cross term: zpw[c] · Σ_window (x_q − zpx).  The window-sum of x_q
+        # is an int8 conv against a ones kernel with ONE output channel per
+        # group (orig_shape's cin is already per-group under grouping),
+        # broadcast to the group's cout/g output channels.
+        g = feature_group_count
+        ones_k = jnp.ones((kh, kw, cin, g), jnp.int8)
+        xwin = jax.lax.conv_general_dilated(
+            xq, ones_k, window_strides=strides, padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g,
+            preferred_element_type=jnp.int32)           # (N, H', W', g)
+        xwin = jnp.repeat(xwin, cout // g, axis=-1).astype(jnp.float32)
+        window = float(kh * kw * cin)
+        out = out - zpw_f[None, None, None, :] * (xwin - zpx_c * window)
     out = out * (sx * sw)[None, None, None, :]
     return out.astype(out_dtype)
 

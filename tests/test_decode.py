@@ -516,3 +516,14 @@ class TestSpeculativeEngine:
                                      k=4) as eng:
             with pytest.raises(ValueError, match="headroom"):
                 eng.submit(np.zeros(8, np.int32), 25)
+
+    def test_oversized_k_rejected(self, models):
+        """ADVICE r2: k + 2 >= max_len makes the parked position <= 0 and
+        the round clamp would silently drag active slots backward — must
+        fail fast at construction instead."""
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars = models  # max_len = 32
+        with pytest.raises(ValueError, match="k .* too large"):
+            SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                    max_batch=2, prompt_buckets=(8,), k=30)

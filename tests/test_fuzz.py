@@ -1,7 +1,23 @@
-"""Seeded fuzz: random (spec, shape, mode) configurations, Pallas (interpret)
-vs golden jnp, forward and backward.  Broad-spectrum agreement evidence on
-top of the targeted kernel tests — shapes include odd/unaligned/1-D/5-D,
-specs include sub-8-bit ranges, narrowed carriers, and asymmetric ranges.
+"""Seeded fuzz: random (spec, shape, mode) configurations, ALL FOUR compute
+oracles on the SAME draws (VERDICT r2 next-#6):
+
+  1. golden jnp   (jaxlsq/core/golden.py — the numeric contract),
+  2. Pallas       (interpret mode on CPU; the TPU kernels' exact program),
+  3. native C++   (jaxlsq/native/lsq_ref.cpp via ctypes),
+  4. the COMPILED REFERENCE CPU kernels (tests/_reference_oracle.py —
+     an oracle jaxlsq's author did not write).
+
+Broad-spectrum agreement evidence on top of the targeted kernel tests —
+shapes include odd/unaligned/1-D/5-D, specs include sub-8-bit ranges,
+narrowed carriers, and asymmetric ranges.  The reference-oracle comparison
+keeps the documented-deviation exclusions of test_reference_oracle.py: the
+CPU kernels dispatch f32/f64 only and use local numel, both of which match
+golden's defaults here, and the two CUDA-only bugs can't appear in a CPU
+build.
+
+Comparison contract (same as test_reference_oracle.py): forward and dX are
+elementwise → bit-for-bit in f32; dS/dB are full reductions whose summation
+order legitimately differs per oracle → magnitude-scaled tolerance.
 """
 
 import jax
@@ -37,54 +53,8 @@ def _random_case(r):
     return spec, shape, eval_mode, init_mode
 
 
-@pytest.mark.parametrize("case", range(N_CASES))
-def test_fuzz_pallas_vs_golden(case):
-    r = np.random.RandomState(1000 + case)
-    spec, shape, eval_mode, init_mode = _random_case(r)
-    x = jnp.asarray(3.0 * r.randn(*shape).astype(np.float32))
-    g = jnp.asarray(r.randn(*shape).astype(np.float32))
-    c = shape[spec.axis] if spec.per_channel else 1
-    scale = jnp.asarray((0.02 + 0.2 * r.rand(c)).astype(np.float32))
-    shift = (jnp.zeros((c,), jnp.float32) if spec.symmetric
-             else jnp.asarray(0.1 * r.randn(c).astype(np.float32)))
-
-    want = golden_forward(x, scale, shift, spec, init_mode=init_mode)
-    got = pallas_forward(x, scale, shift, spec=spec, init_mode=init_mode)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
-                                  err_msg=f"fwd {spec} {shape}")
-
-    dXw, dSw, dBw = golden_backward(g, x, scale, shift, spec,
-                                    eval_mode=eval_mode, init_mode=init_mode)
-    dX, dS, dB = pallas_backward(g, x, scale, shift, spec=spec,
-                                 eval_mode=eval_mode, init_mode=init_mode)
-    np.testing.assert_array_equal(np.asarray(dX), np.asarray(dXw),
-                                  err_msg=f"dX {spec} {shape}")
-    # different accumulation orders (tile partials vs tree-sum): tolerance
-    # scales with the largest gradient magnitude (cancellation-safe)
-    def tol(ref):
-        return dict(rtol=1e-4,
-                    atol=1e-5 * max(1.0, float(np.max(np.abs(ref)))))
-
-    np.testing.assert_allclose(np.asarray(dS), np.asarray(dSw),
-                               err_msg=f"dS {spec} {shape}", **tol(dSw))
-    np.testing.assert_allclose(np.asarray(dB), np.asarray(dBw),
-                               err_msg=f"dB {spec} {shape}", **tol(dBw))
-
-
-@pytest.mark.parametrize("case", range(N_CASES))
-def test_fuzz_golden_vs_compiled_reference(case):
-    """Same random configurations, but judged against the COMPILED reference
-    CPU kernels (oracle #4, tests/_reference_oracle.py) — random-config
-    assurance on top of test_reference_oracle.py's fixed grid."""
-    torch = pytest.importorskip("torch")
-    from _reference_oracle import load_reference_ops
-
-    try:
-        ops = load_reference_ops()
-    except Exception as e:
-        pytest.skip(f"reference oracle build unavailable: {e}")
-
-    r = np.random.RandomState(3000 + case)
+def _draw(seed):
+    r = np.random.RandomState(seed)
     spec, shape, eval_mode, init_mode = _random_case(r)
     x = 3.0 * r.randn(*shape).astype(np.float32)
     g = r.randn(*shape).astype(np.float32)
@@ -92,35 +62,94 @@ def test_fuzz_golden_vs_compiled_reference(case):
     scale = (0.02 + 0.2 * r.rand(c)).astype(np.float32)
     shift = (np.zeros(c, np.float32) if spec.symmetric
              else (0.1 * r.randn(c)).astype(np.float32))
+    return spec, shape, eval_mode, init_mode, x, g, scale, shift
 
+
+def _reduction_tol(ref):
+    """Different accumulation orders (tile partials vs tree-sum vs serial):
+    tolerance scales with the largest gradient magnitude
+    (cancellation-safe)."""
+    return dict(rtol=1e-4, atol=1e-5 * max(1.0, float(np.max(np.abs(ref)))))
+
+
+def _ref_oracle_eval(ops, torch, spec, eval_mode, init_mode, x, g, scale,
+                     shift):
+    """Run the compiled reference CPU dispatcher ops on one draw."""
     t = lambda a: torch.from_numpy(np.asarray(a))
     common = (spec.quant_min, spec.quant_max, spec.type_min, spec.type_max,
               spec.use_grad_scaling, spec.grad_scaler, spec.symmetric,
               eval_mode, init_mode)
     if spec.per_channel:
-        ref_f = ops.lsq_forward_per_channel(t(x), t(scale), t(shift),
-                                            spec.axis, *common).numpy()
-        ref_b = ops.lsq_backward_per_channel(t(g), t(x), t(scale), t(shift),
-                                             spec.axis, *common)
+        f = ops.lsq_forward_per_channel(t(x), t(scale), t(shift),
+                                        spec.axis, *common).numpy()
+        b = ops.lsq_backward_per_channel(t(g), t(x), t(scale), t(shift),
+                                         spec.axis, *common)
     else:
-        ref_f = ops.lsq_forward_per_tensor(t(x), t(scale), t(shift),
-                                           *common).numpy()
-        ref_b = ops.lsq_backward_per_tensor(t(g), t(x), t(scale), t(shift),
-                                            *common)
-    ref_dx, ref_ds, ref_db = (a.numpy() for a in ref_b)
+        f = ops.lsq_forward_per_tensor(t(x), t(scale), t(shift),
+                                       *common).numpy()
+        b = ops.lsq_backward_per_tensor(t(g), t(x), t(scale), t(shift),
+                                        *common)
+    return f, tuple(a.numpy() for a in b)
 
-    got_f = golden_forward(jnp.asarray(x), jnp.asarray(scale),
-                           jnp.asarray(shift), spec, init_mode=init_mode)
-    np.testing.assert_array_equal(np.asarray(got_f), ref_f,
-                                  err_msg=f"fwd {spec} {shape}")
-    dX, dS, dB = golden_backward(jnp.asarray(g), jnp.asarray(x),
-                                 jnp.asarray(scale), jnp.asarray(shift), spec,
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_fuzz_all_oracles_same_draw(case):
+    """golden == Pallas == native C++ == compiled reference, per draw."""
+    spec, shape, eval_mode, init_mode, x, g, scale, shift = _draw(1000 + case)
+    xj, gj = jnp.asarray(x), jnp.asarray(g)
+    sj, bj = jnp.asarray(scale), jnp.asarray(shift)
+
+    # oracle 1: golden (the contract all others are judged against)
+    want_f = np.asarray(golden_forward(xj, sj, bj, spec, init_mode=init_mode))
+    dXw, dSw, dBw = (np.asarray(a) for a in golden_backward(
+        gj, xj, sj, bj, spec, eval_mode=eval_mode, init_mode=init_mode))
+
+    # oracle 2: Pallas (interpret mode = the TPU kernels' exact program)
+    got_f = pallas_forward(xj, sj, bj, spec=spec, init_mode=init_mode)
+    np.testing.assert_array_equal(np.asarray(got_f), want_f,
+                                  err_msg=f"pallas fwd {spec} {shape}")
+    dX, dS, dB = pallas_backward(gj, xj, sj, bj, spec=spec,
                                  eval_mode=eval_mode, init_mode=init_mode)
-    np.testing.assert_array_equal(np.asarray(dX), ref_dx,
-                                  err_msg=f"dX {spec} {shape}")
-    np.testing.assert_allclose(np.asarray(dS).reshape(-1), ref_ds.reshape(-1),
+    np.testing.assert_array_equal(np.asarray(dX), dXw,
+                                  err_msg=f"pallas dX {spec} {shape}")
+    np.testing.assert_allclose(np.asarray(dS), dSw, **_reduction_tol(dSw),
+                               err_msg=f"pallas dS {spec} {shape}")
+    np.testing.assert_allclose(np.asarray(dB), dBw, **_reduction_tol(dBw),
+                               err_msg=f"pallas dB {spec} {shape}")
+
+    # oracle 3: native C++ reference library
+    from jaxlsq.native import is_available, native_backward, native_forward
+    if is_available():
+        nf = native_forward(x, scale, shift, spec, init_mode=init_mode)
+        np.testing.assert_array_equal(nf, want_f,
+                                      err_msg=f"native fwd {spec} {shape}")
+        ndX, ndS, ndB = native_backward(g, x, scale, shift, spec,
+                                        eval_mode=eval_mode,
+                                        init_mode=init_mode)
+        np.testing.assert_array_equal(ndX, dXw,
+                                      err_msg=f"native dX {spec} {shape}")
+        np.testing.assert_allclose(ndS.reshape(-1), dSw.reshape(-1),
+                                   **_reduction_tol(dSw),
+                                   err_msg=f"native dS {spec} {shape}")
+        np.testing.assert_allclose(ndB.reshape(-1), dBw.reshape(-1),
+                                   **_reduction_tol(dBw),
+                                   err_msg=f"native dB {spec} {shape}")
+
+    # oracle 4: the compiled reference itself
+    torch = pytest.importorskip("torch")
+    from _reference_oracle import load_reference_ops
+
+    try:
+        ops = load_reference_ops()
+    except Exception as e:
+        pytest.skip(f"reference oracle build unavailable: {e}")
+    rf, (rdX, rdS, rdB) = _ref_oracle_eval(ops, torch, spec, eval_mode,
+                                           init_mode, x, g, scale, shift)
+    np.testing.assert_array_equal(want_f, rf, err_msg=f"ref fwd {spec} {shape}")
+    np.testing.assert_array_equal(dXw, rdX, err_msg=f"ref dX {spec} {shape}")
+    np.testing.assert_allclose(dSw.reshape(-1), rdS.reshape(-1),
                                rtol=3e-5, atol=1e-6,
-                               err_msg=f"dS {spec} {shape}")
-    np.testing.assert_allclose(np.asarray(dB).reshape(-1), ref_db.reshape(-1),
+                               err_msg=f"ref dS {spec} {shape}")
+    np.testing.assert_allclose(dBw.reshape(-1), rdB.reshape(-1),
                                rtol=3e-5, atol=1e-6,
-                               err_msg=f"dB {spec} {shape}")
+                               err_msg=f"ref dB {spec} {shape}")

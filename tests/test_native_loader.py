@@ -107,3 +107,31 @@ def test_feeds_qat_step(shards):
                 "input": jnp.asarray(x.reshape(8, -1)),
                 "label": jnp.asarray(y % 4)})
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_use_after_close_raises(shards):
+    """ADVICE r2: next()/delivered after close() must raise a Python error,
+    not pass a NULL handle into the C library (which segfaulted)."""
+    paths, _ = shards
+    ld = NativeShardLoader(paths, batch=8, seed=0, workers=1)
+    ld.next()
+    ld.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        ld.next()
+    with pytest.raises(RuntimeError, match="closed"):
+        _ = ld.delivered
+    ld.close()  # idempotent
+
+
+def test_corrupt_header_length_rejected(tmp_path):
+    """ADVICE r2: a header length field exceeding the file size must be
+    rejected up front (previously the size_t payload subtraction underflowed
+    and the truncation check could pass on corrupt files)."""
+    import struct
+
+    bad = tmp_path / "hdr.npy"
+    # valid magic + version 1, but declared header length 0xFFFF >> file size
+    bad.write_bytes(b"\x93NUMPY\x01\x00" + struct.pack("<H", 0xFFFF)
+                    + b"{'descr': '<f4'}")
+    with pytest.raises((RuntimeError, ValueError)):
+        NativeShardLoader([str(bad)], batch=1)

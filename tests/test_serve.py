@@ -595,3 +595,81 @@ def test_quant_cnn_static_int8_serving_end_to_end():
     want = m_sim.apply(sv, x, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_static_int8_conv_affine_weights():
+    """ADVICE r2: affine weights (zero_point != 0) previously required the
+    float-simulated path (and were SILENTLY mis-handled when zp was a tracer
+    under jit).  Now the epilogue's ones-kernel window-sum conv makes the
+    integer path exact for any PackedWeight — checked eagerly AND under jit
+    (traced zp), with SAME padding and strides."""
+    from jaxlsq.serve.matmul import static_int8_conv
+    from jaxlsq.serve.pack import dequantize_weight
+    from jaxlsq.models.layers import _static_act_quant
+
+    r = np.random.RandomState(3)
+    wspec = QuantSpec.make(8, signed=True, symmetric=False, per_channel=True,
+                           axis=3)
+    kh, kw, cin, cout = 3, 3, 6, 12
+    w = jnp.asarray((0.1 * r.randn(kh, kw, cin, cout) + 0.05)
+                    .astype(np.float32))
+    wscale = jnp.asarray((0.002 + 0.001 * r.rand(cout)).astype(np.float32))
+    wshift = jnp.asarray((0.01 * r.randn(cout)).astype(np.float32))
+    packed = quantize_weight(w, wscale, wshift, wspec, bits=8)
+    assert bool(jnp.any(packed.zero_point != 0))  # the affine case for real
+
+    aspec = QuantSpec.make(8, signed=False)
+    x = jnp.asarray(r.randn(2, 9, 9, cin).astype(np.float32))
+    ascale = jnp.asarray([0.05], jnp.float32)
+    azp = jnp.asarray([5], jnp.int32)
+
+    xs = _static_act_quant(x, ascale, azp, aspec)
+    for strides, padding in [((1, 1), "SAME"), ((2, 2), "SAME"),
+                             ((1, 1), "VALID")]:
+        want = jax.lax.conv_general_dilated(
+            xs, dequantize_weight(packed), window_strides=strides,
+            padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        got = static_int8_conv(x, packed, ascale, azp, aspec.quant_min,
+                               aspec.quant_max, strides=strides,
+                               padding=padding)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        # under jit, zero_point is a tracer: must take the affine epilogue
+        # (not silently assume symmetry) and produce the same result
+        got_jit = jax.jit(
+            lambda x, p: static_int8_conv(
+                x, p, ascale, azp, aspec.quant_min, aspec.quant_max,
+                strides=strides, padding=padding))(x, packed)
+        np.testing.assert_allclose(np.asarray(got_jit), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_static_int8_conv_affine_grouped():
+    """Affine + depthwise: the window-sum conv must sum only the group's own
+    input channels (one ones-kernel output channel per group)."""
+    from jaxlsq.serve.matmul import static_int8_conv
+    from jaxlsq.serve.pack import dequantize_weight
+    from jaxlsq.models.layers import _static_act_quant
+
+    r = np.random.RandomState(4)
+    wspec = QuantSpec.make(8, signed=True, symmetric=False, per_channel=True,
+                           axis=3)
+    cin = 8
+    w = jnp.asarray((0.1 * r.randn(3, 3, 1, cin) + 0.03).astype(np.float32))
+    wscale = jnp.asarray((0.002 + 0.001 * r.rand(cin)).astype(np.float32))
+    wshift = jnp.asarray((0.01 * r.randn(cin)).astype(np.float32))
+    packed = quantize_weight(w, wscale, wshift, wspec, bits=8)
+    assert bool(jnp.any(packed.zero_point != 0))
+    aspec = QuantSpec.make(8, signed=False)
+    x = jnp.asarray(r.randn(2, 6, 6, cin).astype(np.float32))
+    ascale, azp = jnp.asarray([0.04], jnp.float32), jnp.asarray([3], jnp.int32)
+    got = static_int8_conv(x, packed, ascale, azp, aspec.quant_min,
+                           aspec.quant_max, feature_group_count=cin)
+    xs = _static_act_quant(x, ascale, azp, aspec)
+    want = jax.lax.conv_general_dilated(
+        xs, dequantize_weight(packed), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=cin,
+        preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
