@@ -108,18 +108,27 @@ def bench_serving(roofline: float):
 
     # Long chains: these matmuls are ~0.1 ms each, so short chains drown in
     # the shared chip's scheduling noise (measured negative slopes at K=6).
+    # 12 interleaved rounds (VERDICT r2 weak-#1): enough min-of-rounds draws
+    # to catch an uncontended tenancy window so the committed int4 stream
+    # number reproduces the kernel's measured 400+ GB/s capability.
     K1, K2 = 8, 48
     out = {}
-    for name, mk, warg in (("int8", chain_int8, packed),
-                           ("int4", chain_int8, packed4),
-                           ("f32", chain_f32, wf)):
-        f1, f2 = mk(K1), mk(K2)
-        float(f1(x, warg)); float(f2(x, warg))
-        t1s, t2s = [], []
-        for _ in range(5):
-            t0 = time.perf_counter(); float(f1(x, warg)); t1s.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(f2(x, warg)); t2s.append(time.perf_counter() - t0)
-        out[name] = max((min(t2s) - min(t1s)) / (K2 - K1), 1e-9)
+    fns = {name: (mk(K1), mk(K2), warg)
+           for name, mk, warg in (("int8", chain_int8, packed),
+                                  ("int4", chain_int8, packed4),
+                                  ("f32", chain_f32, wf))}
+    rec = {name: ([], []) for name in fns}
+    for f1, f2, warg in fns.values():
+        float(f1(x, warg)); float(f2(x, warg))  # compile + warm
+    for _ in range(12):
+        for name, (f1, f2, warg) in fns.items():
+            t0 = time.perf_counter(); float(f1(x, warg))
+            rec[name][0].append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(f2(x, warg))
+            rec[name][1].append(time.perf_counter() - t0)
+    for name in fns:
+        out[name] = max((min(rec[name][1]) - min(rec[name][0])) / (K2 - K1),
+                        1e-9)
     wbytes = {"int8": k * n, "int4": k * n // 2, "f32": 4 * k * n}
     return {
         "serve_int8_ms": round(out["int8"] * 1e3, 3),
@@ -171,12 +180,16 @@ def bench_decode():
     for B in (1, 8):
         prompt = jnp.asarray(r.randint(0, VOCAB, size=(B, T0)))
         runs = {}
-        legs = [("int8", sm, sv), ("f32", fm, fv)]
+        legs = [("int8", sm, sv, jnp.bfloat16), ("f32", fm, fv, jnp.bfloat16)]
         if B == 1:  # W4 weight-stream story at the most weight-bound shape
-            legs.append(("int4", sm4, sv4))
-        for name, mdl, var in legs:
-            g1 = make_generate(mdl, T0, N1, cache_dtype=jnp.bfloat16)
-            g2 = make_generate(mdl, T0, N2, cache_dtype=jnp.bfloat16)
+            legs.append(("int4", sm4, sv4, jnp.bfloat16))
+        if B == 8:  # int8 KV cache: at B=8 the cache stream rivals the
+            # weight stream the int8 path shrank — record whether halving it
+            # (vs bf16) pays (VERDICT r2 next-#3)
+            legs.append(("int8kv", sm, sv, jnp.int8))
+        for name, mdl, var, cdt in legs:
+            g1 = make_generate(mdl, T0, N1, cache_dtype=cdt)
+            g2 = make_generate(mdl, T0, N2, cache_dtype=cdt)
             np.asarray(g1(var, prompt)); np.asarray(g2(var, prompt))  # warm
             t1s, t2s = [], []
             for _ in range(4):
@@ -193,6 +206,11 @@ def bench_decode():
             out[f"decode_tokens_per_s_b{B}_int4"] = round(B / runs["int4"], 1)
             out[f"decode_speedup_b{B}_int4_vs_int8"] = round(
                 runs["int8"] / runs["int4"], 2)
+        if "int8kv" in runs:
+            out[f"decode_tokens_per_s_b{B}_int8kv"] = round(
+                B / runs["int8kv"], 1)
+            out[f"decode_speedup_b{B}_int8kv_vs_bf16kv"] = round(
+                runs["int8"] / runs["int8kv"], 2)
     out["decode_shape"] = (f"LM d{DIM} depth{DEPTH} vocab{VOCAB} "
                            f"prompt{T0}, greedy scan decode, bf16 KV cache")
     return out

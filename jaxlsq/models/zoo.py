@@ -192,6 +192,18 @@ class QuantTransformerBlock(nn.Module):
     (t = 1) against the cache.  The new keys/values are written with
     ``lax.dynamic_update_slice`` (static shapes — one compiled program serves
     every position) and the call returns ``(x, (k, v))``.
+
+    INT8 KV cache: when a cache entry is a ``(data int8 (B, H, L, hd),
+    scale f32 (B, H, L))`` pair (from ``init_kv_cache(dtype=jnp.int8)``),
+    keys/values are quantized symmetrically PER ROW (per (b, h, position)
+    abs-max over head_dim) on write, and dequantization folds into the
+    attention dots for free: the per-key-position scale multiplies the
+    (B, H, q, kpos) score matrix after the QK dot, and the value scale
+    multiplies the softmax weights BEFORE the AV dot — so the int8 arrays
+    stream at 1/4 (vs f32) or 1/2 (vs bf16) the cache bandwidth and no
+    dequantized copy ever exists in HBM.  Extends the framework's
+    weight-quantization thesis to the decode-time cache stream (the
+    reference has no serving runtime to compare — SURVEY.md §5).
     """
 
     dim: int
@@ -219,32 +231,64 @@ class QuantTransformerBlock(nn.Module):
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         else:
             ck, cv = kv_cache
-            L = ck.shape[2]
+            quantized = isinstance(ck, (tuple, list))
+            L = (ck[0] if quantized else ck).shape[2]
             idx = jnp.asarray(cache_index, jnp.int32)
+
+            def write(c, new, idx):
+                """dynamic_update_slice into a (B, H, L, ...) cache array at
+                position idx — scalar idx (shared position: prefill /
+                lockstep decode) or per-slot (B,) idx (continuous batching;
+                the vmapped update lowers to a per-slot scatter)."""
+                new = new.astype(c.dtype)
+                if idx.ndim == 0:
+                    return jax.lax.dynamic_update_slice(
+                        c, new, (0, 0, idx, 0)[: c.ndim])
+                return jax.vmap(
+                    lambda cc, nn, i: jax.lax.dynamic_update_slice(
+                        cc, nn, (0, i, 0)[: cc.ndim]))(c, new, idx)
+
             if idx.ndim == 0:
-                # one shared position (prefill / lockstep decode)
-                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                                  (0, 0, idx, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                                  (0, 0, idx, 0))
                 qpos = (idx + jnp.arange(t))[None, None, :, None]
             else:
-                # per-slot positions, shape (B,): continuous batching — each
-                # request in the batch sits at its own decode depth.  The
-                # vmapped dynamic_update_slice lowers to a per-slot scatter.
-                upd = jax.vmap(
-                    lambda c, new, i: jax.lax.dynamic_update_slice(
-                        c, new, (0, i, 0)))
-                ck = upd(ck, k.astype(ck.dtype), idx)
-                cv = upd(cv, v.astype(cv.dtype), idx)
                 qpos = (idx[:, None] + jnp.arange(t))[:, None, :, None]
-            att = (jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype))
-                   / jnp.sqrt(float(hd)))
             kpos = jnp.arange(L)[None, None, None, :]
-            att = jnp.where(kpos <= qpos, att, -1e9)
-            att = jax.nn.softmax(att, axis=-1)
-            y = jnp.einsum("bhqk,bhkd->bhqd", att, cv.astype(q.dtype))
-            new_kv = (ck, cv)
+
+            if quantized:
+                def q8(a):  # per-(b, h, position) symmetric int8
+                    s = jnp.max(jnp.abs(a), axis=-1) / 127.0
+                    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+                    data = jnp.clip(jnp.round(a / s[..., None]), -127, 127)
+                    return data.astype(jnp.int8), s.astype(jnp.float32)
+
+                kq, ks = q8(k)
+                vq, vs = q8(v)
+                ckd = write(ck[0], kq, idx)
+                cks = write(ck[1], ks, idx)
+                cvd = write(cv[0], vq, idx)
+                cvs = write(cv[1], vs, idx)
+                # dequant folds into the dots: per-KEY-position scales hit
+                # the score matrix after QK, and the value scales hit the
+                # softmax weights before AV
+                att = (jnp.einsum("bhqd,bhkd->bhqk", q,
+                                  ckd.astype(q.dtype))
+                       * cks.astype(q.dtype)[:, :, None, :]
+                       / jnp.sqrt(float(hd)))
+                att = jnp.where(kpos <= qpos, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bhqk,bhkd->bhqd",
+                               att * cvs.astype(q.dtype)[:, :, None, :],
+                               cvd.astype(q.dtype))
+                new_kv = ((ckd, cks), (cvd, cvs))
+            else:
+                ck = write(ck, k, idx)
+                cv = write(cv, v, idx)
+                att = (jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype))
+                       / jnp.sqrt(float(hd)))
+                att = jnp.where(kpos <= qpos, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bhqk,bhkd->bhqd", att, cv.astype(q.dtype))
+                new_kv = (ck, cv)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
 

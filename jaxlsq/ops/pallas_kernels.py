@@ -66,7 +66,7 @@ import numpy as np
 from ..core.golden import effective_grad_scale
 from ..core.spec import QuantSpec
 
-__all__ = ["pallas_forward", "pallas_backward",
+__all__ = ["pallas_forward", "pallas_backward", "pallas_fwdbwd",
            "pallas_forward_traced", "pallas_backward_traced"]
 
 LANES = 128
@@ -201,7 +201,8 @@ def _pt_fwd_kernel(s_ref, b_ref, x_ref, o_ref, *, spec: QuantSpec):
 
 def _pt_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
                    spec: QuantSpec, init_mode: bool, eval_mode: bool,
-                   n_valid: int, gs: float, block_rows: int, cols: int = LANES):
+                   n_valid: int, gs: float, block_rows: int, cols: int = LANES,
+                   emit_out: bool = False):
     """Fused per-tensor backward: dX tile + dS/dB accumulated across the grid.
 
     Math: lsq_kernel.h:94-123 (combined) / :126-145 (eval).
@@ -223,6 +224,10 @@ def _pt_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
     emit_dx = not init_mode                # init: dX == grad, returned outside
     emit_partials = not eval_mode
     oi = 0
+    if emit_out:  # fused fwd+bwd: the forward output is one extra line —
+        # xfq is needed for dS anyway, so emitting it costs only the write
+        out_ref = outs[oi]; oi += 1
+        out_ref[:] = ((jnp.round(xq) - zp) * s).astype(out_ref.dtype)
     if emit_dx:
         dx_ref = outs[oi]; oi += 1
         dx_ref[:] = jnp.where(mask, g, 0.0).astype(dx_ref.dtype)
@@ -269,7 +274,8 @@ def _pc_fwd_kernel(s_ref, b_ref, x_ref, o_ref, *, spec: QuantSpec):
 
 def _pc_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
                    spec: QuantSpec, init_mode: bool, eval_mode: bool,
-                   n_valid_rows: int, gs: float, block_rows: int):
+                   n_valid_rows: int, gs: float, block_rows: int,
+                   emit_out: bool = False):
     """Fused per-channel backward: dX tile + per-channel dS/dB accumulators.
 
     The channel axis lives on lanes, so the dS/dB reduction is a sublane
@@ -292,6 +298,9 @@ def _pc_bwd_kernel(s_ref, b_ref, g_ref, x_ref, *outs,
     emit_dx = not init_mode
     emit_partials = not eval_mode
     oi = 0
+    if emit_out:  # fused fwd+bwd (see _pt_bwd_kernel)
+        out_ref = outs[oi]; oi += 1
+        out_ref[:] = ((jnp.round(xq) - zp) * s).astype(out_ref.dtype)
     if emit_dx:
         dx_ref = outs[oi]; oi += 1
         dx_ref[:] = jnp.where(mask, g, 0.0).astype(dx_ref.dtype)
@@ -560,6 +569,106 @@ def _pc_backward(grad, x, scale, shift, spec, eval_mode, init_mode, numel,
         dS = jnp.zeros_like(scale)
         dB = jnp.zeros_like(shift)
     return dX, dS, dB
+
+
+def pallas_fwdbwd(grad, x, scale, shift, *, spec: QuantSpec,
+                  numel: Optional[int] = None,
+                  interpret: Optional[bool] = None):
+    """Fused forward + backward in ONE kernel pass (VERDICT r2 next-#8):
+    reads (grad, x) once and writes (out, dX) plus the reduced dS/dB
+    partials — 16 B/elem of real traffic vs 20 for the split
+    pallas_forward + pallas_backward pair (the forward output is one extra
+    VMEM write: its value ``(round(xq)−zp)·s`` is already computed for dS).
+
+    Applicable where forward and backward are ADJACENT in the program: the
+    rematerialization chain (``jax.checkpoint`` recomputes the forward
+    during the backward pass) and fwd+bwd training microbenchmarks.  In a
+    plain (non-remat) training step the two passes are separated by the
+    rest of the network, so the split kernels / XLA fusion apply instead —
+    see docs/measurements/impl_auto_inmodel_tpu.json for the measured
+    decision record.
+
+    Train mode only (eval_mode/init_mode have degenerate fwd or bwd and
+    keep their specialized split kernels).  Returns (out, dX, dS, dB),
+    bit-identical to golden_forward + golden_backward up to the documented
+    dS/dB partial-sum ordering.
+    """
+    interpret = _resolve_interpret(interpret)
+    if grad.dtype == jnp.float16 or x.dtype == jnp.float16:
+        out, dX, dS, dB = pallas_fwdbwd(
+            grad.astype(jnp.float32), x.astype(jnp.float32), scale, shift,
+            spec=spec, numel=numel, interpret=interpret)
+        return out.astype(jnp.float16), dX.astype(jnp.float16), dS, dB
+    if spec.per_channel:
+        return _pc_fwdbwd(grad, x, scale, shift, spec, numel, interpret)
+    return _pt_fwdbwd(grad, x, scale, shift, spec, numel, interpret)
+
+
+def _pt_fwdbwd(grad, x, scale, shift, spec, numel, interpret):
+    g2d, n, cols = _to_rows_lanes(grad)
+    x2d, _, _ = _to_rows_lanes(x)
+    rows = x2d.shape[0]
+    bm = _block_rows(BWD_BLOCK_BYTES, cols, rows)
+    ntiles = _cdiv(rows, bm)
+    gs = effective_grad_scale(spec, numel if numel is not None else x.size)
+
+    blk = pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out, dx, ds, db = pl.pallas_call(
+        functools.partial(_pt_bwd_kernel, spec=spec, init_mode=False,
+                          eval_mode=False, n_valid=n, gs=gs, block_rows=bm,
+                          cols=cols, emit_out=True),
+        out_shape=(jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x2d.shape, x.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        grid=(ntiles,),
+        in_specs=[smem, smem, blk, blk],
+        out_specs=(blk, blk, smem, smem),
+        # out↔x and dX↔grad: both inputs are dead after the fused pass in
+        # the remat chain; XLA copy-protects any that are still live
+        input_output_aliases={3: 0, 2: 1},
+        interpret=interpret,
+    )(_qp_smem(scale), _qp_smem(shift), g2d, x2d)
+    return (_from_rows_lanes(out, x.shape, n),
+            _from_rows_lanes(dx, x.shape, n),
+            ds.reshape(scale.shape).astype(scale.dtype),
+            db.reshape(shift.shape).astype(shift.dtype))
+
+
+def _pc_fwdbwd(grad, x, scale, shift, spec, numel, interpret):
+    g2d, rows, c = _to_rows_channels(grad, spec.axis)
+    x2d, _, _ = _to_rows_channels(x, spec.axis)
+    g2dp = _pad2d(g2d, 8, LANES)
+    x2dp = _pad2d(x2d, 8, LANES)
+    rp, cp = x2dp.shape
+    bm = min(BLOCK_ROWS, rp)
+    ct = min(BLOCK_CHANNELS, cp)
+    grid = (_cdiv(cp, ct), _cdiv(rp, bm))
+    gs = effective_grad_scale(spec, numel if numel is not None else x.size, c)
+    s2, b2 = _pc_qparams(scale, shift, cp)
+
+    blk = pl.BlockSpec((bm, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    qrow = pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((8, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    out, dx, ds, db = pl.pallas_call(
+        functools.partial(_pc_bwd_kernel, spec=spec, init_mode=False,
+                          eval_mode=False, n_valid_rows=rows, gs=gs,
+                          block_rows=bm, emit_out=True),
+        out_shape=(jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
+                   jax.ShapeDtypeStruct(x2dp.shape, x.dtype),
+                   jax.ShapeDtypeStruct((8, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((8, cp), jnp.float32)),
+        grid=grid,
+        in_specs=[qrow, qrow, blk, blk],
+        out_specs=(blk, blk, acc, acc),
+        input_output_aliases={3: 0, 2: 1},
+        interpret=interpret,
+    )(s2, b2, g2dp, x2dp)
+    return (_from_rows_channels(out[:rows, :c], x.shape, spec.axis),
+            _from_rows_channels(dx[:rows, :c], x.shape, spec.axis),
+            jnp.sum(ds[:, :c], axis=0).astype(scale.dtype),
+            jnp.sum(db[:, :c], axis=0).astype(shift.dtype))
 
 
 # --------------------------------------------------------------------------

@@ -66,10 +66,23 @@ def init_kv_cache(model, batch_size: int, *, dtype=jnp.float32,
     ``model.depth`` per-layer ``(k, v)`` pairs, each (B, H, L, head_dim).
 
     ``dtype=jnp.bfloat16`` halves cache HBM traffic; keys/values are cast on
-    write and cast back for the attention dots."""
+    write and cast back for the attention dots.
+
+    ``dtype=jnp.int8`` quantizes the cache: each k/v entry becomes a
+    ``(data int8 (B, H, L, hd), scale f32 (B, H, L))`` pair — written rows
+    are quantized symmetrically per (b, h, position) and the per-row scales
+    fold into the attention dots (see QuantTransformerBlock, models/zoo.py),
+    so the cache streams at 1/4 the f32 bandwidth with no dequantized copy
+    in HBM.  All decode paths (prefill / make_generate / the engines /
+    speculative) accept either layout."""
     L = model.max_len if max_len is None else max_len
     hd = model.dim // model.num_heads
     shape = (batch_size, model.num_heads, L, hd)
+    if np.dtype(dtype) == np.int8:
+        def entry():
+            return (jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape[:-1], jnp.float32))
+        return tuple((entry(), entry()) for _ in range(model.depth))
     return tuple(
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(model.depth))
@@ -85,9 +98,10 @@ def prefill(model, variables, tokens: jnp.ndarray, *,
     b, t = tokens.shape
     if cache is None:
         cache = init_kv_cache(model, b, dtype=cache_dtype)
-    if t > cache[0][0].shape[2]:
-        raise ValueError(f"prompt length {t} exceeds cache max_len "
-                         f"{cache[0][0].shape[2]}")
+    lead = cache[0][0]  # (data, scale) pair when the cache is int8-quantized
+    L = (lead[0] if isinstance(lead, (tuple, list)) else lead).shape[2]
+    if t > L:
+        raise ValueError(f"prompt length {t} exceeds cache max_len {L}")
     logits, cache = model.apply(variables, tokens, cache=cache,
                                 cache_index=jnp.zeros((), jnp.int32))
     return logits[:, -1], cache, jnp.asarray(t, jnp.int32)
@@ -170,25 +184,54 @@ class _GenRequest:
         self.slot = -1
 
 
+class _PendingAdmit:
+    """One in-flight chunked admission: the reserved slot, the private B=1
+    slot cache being filled, and the chunk cursor."""
+
+    __slots__ = ("req", "slot", "slot_cache", "chunk_idx", "n_chunks",
+                 "padded", "c", "steps_at_start")
+
+    def __init__(self, *, req, slot, slot_cache, chunk_idx, n_chunks, padded,
+                 c, steps_at_start):
+        self.req = req
+        self.slot = slot
+        self.slot_cache = slot_cache
+        self.chunk_idx = chunk_idx
+        self.n_chunks = n_chunks
+        self.padded = padded
+        self.c = c
+        self.steps_at_start = steps_at_start
+
+
 class DecodeEngine:
     """Iteration-level (token-level) continuous batching for autoregressive
     generation — the serving discipline the request-level ``ServingEngine``
     cannot express: new requests JOIN the running batch at the next token
     boundary instead of waiting for the whole batch to finish.
 
-    TPU-native design (all static shapes; two compiled programs total plus
-    one prefill program per prompt-length bucket):
+    TPU-native design (all static shapes; three compiled programs total —
+    decode step, prefill chunk, final chunk — per distinct chunk length):
 
     * One global KV cache of fixed shape (max_batch, H, max_len, hd) per
       layer.  Each batch slot holds one request at its own decode depth —
       the model's vector ``cache_index`` path (models/zoo.py) masks each
       slot's attention to its own [0, pos) prefix.
-    * ``prefill``: the prompt is right-padded to a length bucket and run at
-      B=1; the padded rows write garbage k/v BEYOND the true length, which
-      is provably never read — decode at position p attends kpos <= p and
-      overwrites row p before attending to it, so garbage rows are always
-      overwritten before first exposure.  The slot's cache is written into
-      the global cache in the same compiled program.
+    * CHUNKED prefill (non-blocking admission, VERDICT r2 next-#4): a new
+      prompt is NOT prefilled in one synchronous program (which would stall
+      every active decode lane for the whole prompt).  Instead the prompt is
+      split into ``prefill_chunk``-token chunks accumulated into a private
+      B=1 slot cache, and the dispatcher advances ONE chunk per iteration,
+      interleaved with the decode step — so the decode-step gap is bounded
+      by one chunk's compute, not the prompt length.  The final chunk (the
+      one containing position true_len−1) emits the first token and writes
+      the slot cache into the global cache; only then does the slot go
+      active.  Chunking is numerically EXACT vs one-shot prefill: every
+      contraction (QKV/MLP matmuls over dim, attention over max_len and
+      head_dim) has a fixed extent, the chunk length is a purely parallel
+      dimension.  Padded rows beyond the true length write garbage k/v
+      that is provably never read — decode at position p attends kpos <= p
+      and overwrites row p before attending to it (overwrite before first
+      exposure).
     * ``decode step``: one program advances ALL active slots one token
       (argmax).  Free slots run parked at max_len-1 (same
       overwrite-before-read argument); their output tokens are ignored.
@@ -199,15 +242,19 @@ class DecodeEngine:
       model: a ``QuantTransformerLM``-shaped module (QAT or serve mode).
       variables: its (possibly converted + sharded) variables.
       max_batch: number of concurrent decode slots.
-      prompt_buckets: ascending prompt-length buckets (one compiled prefill
-        per bucket); prompts longer than the largest bucket are rejected.
-      cache_dtype: KV cache dtype (bf16 halves cache traffic).
+      prompt_buckets: ascending prompt-length buckets (admission cap);
+        prompts longer than the largest bucket are rejected.
+      cache_dtype: KV cache dtype (bf16 halves cache traffic; jnp.int8
+        quantizes it — see init_kv_cache).
+      prefill_chunk: admission chunk length (None = whole-bucket chunks,
+        i.e. the old stall-the-world behavior).
       max_wait_ms: dispatcher sleep when completely idle.
     """
 
     def __init__(self, model, variables, *, max_batch: int = 8,
                  prompt_buckets: Sequence[int] = (32, 128),
-                 cache_dtype=jnp.float32, max_wait_ms: float = 2.0,
+                 cache_dtype=jnp.float32, prefill_chunk: Optional[int] = 32,
+                 max_wait_ms: float = 2.0,
                  eos_id: Optional[int] = None,
                  logits_to_token: Optional[Callable] = None,
                  rng=None):
@@ -215,6 +262,8 @@ class DecodeEngine:
         result includes the eos).  ``logits_to_token``/``rng``: plug a
         sampler (see :func:`make_sampler`) — with ``rng`` set, the sampler
         is called as ``pick(logits, key)`` with per-step folded keys."""
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError("prefill_chunk must be >= 1 or None")
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -229,18 +278,25 @@ class DecodeEngine:
         self._cache = init_kv_cache(model, max_batch, dtype=cache_dtype)
         self._pos = jnp.full((max_batch,), self.max_len - 1, jnp.int32)
         self._tok = jnp.zeros((max_batch,), jnp.int32)
+        self.prefill_chunk = prefill_chunk
         sampled = self._sampled
 
-        def _prefill_insert(variables, cache, prompt, true_len, slot, key):
-            """Run one padded prompt, write its k/v into global-cache slot
-            ``slot``, return (cache', first token)."""
-            slot_cache = jax.tree.map(
-                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
+        def _chunk(variables, slot_cache, tokens, start):
+            """One admission chunk: run ``tokens`` (1, c) against the
+            private slot cache at positions [start, start+c)."""
+            _, slot_cache = self.model.apply(
+                variables, tokens, cache=slot_cache, cache_index=start)
+            return slot_cache
+
+        def _final_chunk(variables, cache, slot_cache, tokens, start,
+                         true_len, slot, key):
+            """Last admission chunk (contains position true_len−1): run it,
+            pick the first token, and write the slot cache into global-cache
+            slot ``slot``."""
             logits, slot_cache = self.model.apply(
-                variables, prompt, cache=slot_cache,
-                cache_index=jnp.zeros((), jnp.int32))
-            last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1,
-                                                axis=0, keepdims=True)
+                variables, tokens, cache=slot_cache, cache_index=start)
+            last = jax.lax.dynamic_index_in_dim(
+                logits[0], true_len - 1 - start, axis=0, keepdims=True)
             first = (pick(last, key) if sampled else pick(last))[0]
             new_cache = jax.tree.map(
                 lambda g, s: jax.lax.dynamic_update_slice(
@@ -255,29 +311,37 @@ class DecodeEngine:
             nxt = pick(logits[:, -1], key) if sampled else pick(logits[:, -1])
             return cache, nxt, jnp.minimum(pos + 1, self.max_len - 1)
 
-        self._prefill_fn = jax.jit(_prefill_insert, donate_argnums=(1,))
+        self._chunk_fn = jax.jit(_chunk, donate_argnums=(1,))
+        self._final_fn = jax.jit(_final_chunk, donate_argnums=(1, 2))
         self._step_fn = jax.jit(_step, donate_argnums=(1,))
 
         self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
         self._slots: list = [None] * max_batch
+        self._pending: list = []  # in-flight chunked admissions (FIFO)
         self._lifecycle_lock = threading.Lock()
         # serializes device-state mutation (dispatcher iteration vs warmup)
         self._state_lock = threading.Lock()
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
-                      "active_token_sum": 0}
+                      "active_token_sum": 0, "admission_chunks": 0,
+                      "admission_interleave": []}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _chunk_len(self, bucket: int) -> int:
+        return bucket if self.prefill_chunk is None else min(
+            self.prefill_chunk, bucket)
 
     # ------------------------------------------------------------------ API
 
     def warmup(self):
-        """Compile the decode step and one prefill per bucket up front (first
-        compiles otherwise land on the first unlucky requests).  Must run
-        before requests are in flight — it resets the cache/positions."""
+        """Compile the decode step and the chunk/final-chunk programs up
+        front (first compiles otherwise land on the first unlucky requests).
+        Must run before requests are in flight — it resets the
+        cache/positions."""
         with self._state_lock:
-            if any(slot is not None for slot in self._slots):
+            if any(slot is not None for slot in self._slots) or self._pending:
                 raise RuntimeError(
                     "warmup() must run before requests are in flight "
                     "(it resets the KV cache)")
@@ -285,10 +349,16 @@ class DecodeEngine:
             cache, nxt, pos = self._step_fn(self.variables, self._cache,
                                             zeros, self._pos, self._next_key())
             jax.block_until_ready(nxt)
-            for b in self.buckets:
-                cache, first = self._prefill_fn(
-                    self.variables, cache, jnp.zeros((1, b), jnp.int32),
-                    1, 0, self._next_key())
+            for c in sorted({self._chunk_len(b) for b in self.buckets}):
+                sc = jax.tree.map(
+                    lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
+                toks = jnp.zeros((1, c), jnp.int32)
+                sc = self._chunk_fn(self.variables, sc, toks,
+                                    jnp.asarray(0, jnp.int32))
+                cache, first = self._final_fn(
+                    self.variables, cache, sc, toks,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+                    jnp.asarray(0, jnp.int32), self._next_key())
                 jax.block_until_ready(first)
             # restore a clean parked state (warmup wrote junk rows, all of
             # which sit beyond every parked position and would be overwritten
@@ -321,6 +391,10 @@ class DecodeEngine:
             if req is not None and not req.future.done():
                 req.future.set_exception(exc)
         self._slots = [None] * self.max_batch
+        for p in getattr(self, "_pending", []):
+            if not p.req.future.done():
+                p.req.future.set_exception(exc)
+        self._pending = []
         for req in self._drain_queue():
             if not req.future.done():
                 req.future.set_exception(exc)
@@ -344,7 +418,8 @@ class DecodeEngine:
             self._cancel_pending()
 
     def _cancel_pending(self):
-        for req in list(self._slots) + self._drain_queue():
+        admitting = [p.req for p in getattr(self, "_pending", [])]
+        for req in list(self._slots) + admitting + self._drain_queue():
             if req is not None and not req.future.done():
                 req.future.cancel()
 
@@ -375,19 +450,47 @@ class DecodeEngine:
                 or (self.eos_id is not None and len(req.tokens) > 0
                     and req.tokens[-1] == self.eos_id))
 
-    def _admit(self, req: _GenRequest, slot: int):
+    def _start_admit(self, req: _GenRequest, slot: int):
+        """Reserve a slot and stage the prompt for chunked admission; the
+        dispatcher advances one chunk per iteration (_advance_admission)."""
         b = next(b for b in self.buckets if b >= req.prompt.size)
-        padded = np.zeros((1, b), np.int32)
+        c = self._chunk_len(b)
+        n_chunks = -(-req.prompt.size // c)
+        padded = np.zeros((1, n_chunks * c), np.int32)
         padded[0, : req.prompt.size] = req.prompt
-        self._cache, first = self._prefill_fn(
-            self.variables, self._cache, jnp.asarray(padded),
-            req.prompt.size, slot, self._next_key())
-        self._tok = self._tok.at[slot].set(first)
-        self._pos = self._pos.at[slot].set(req.prompt.size)
-        req.tokens.append(int(first))
+        slot_cache = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._cache)
         req.slot = slot
-        self._slots[slot] = req
-        self.stats["requests"] += 1
+        self._pending.append(_PendingAdmit(
+            req=req, slot=slot, slot_cache=slot_cache, chunk_idx=0,
+            n_chunks=n_chunks, padded=padded, c=c,
+            steps_at_start=self.stats["steps"]))
+
+    def _advance_admission(self, p: "_PendingAdmit"):
+        """Run ONE chunk of the in-flight admission at the head of the
+        queue; the final chunk emits the first token, writes the slot cache
+        into the global cache, and activates the slot."""
+        i = p.chunk_idx
+        toks = jnp.asarray(p.padded[:, i * p.c:(i + 1) * p.c])
+        start = jnp.asarray(i * p.c, jnp.int32)
+        if i < p.n_chunks - 1:
+            p.slot_cache = self._chunk_fn(self.variables, p.slot_cache,
+                                          toks, start)
+            p.chunk_idx += 1
+        else:
+            self._cache, first = self._final_fn(
+                self.variables, self._cache, p.slot_cache, toks, start,
+                jnp.asarray(p.req.prompt.size, jnp.int32),
+                jnp.asarray(p.slot, jnp.int32), self._next_key())
+            self._tok = self._tok.at[p.slot].set(first)
+            self._pos = self._pos.at[p.slot].set(p.req.prompt.size)
+            p.req.tokens.append(int(first))
+            self._slots[p.slot] = p.req
+            self._pending.remove(p)
+            self.stats["requests"] += 1
+            self.stats["admission_interleave"].append(
+                self.stats["steps"] - p.steps_at_start)
+        self.stats["admission_chunks"] += 1
 
     def _retire_done(self):
         for slot, req in enumerate(self._slots):
@@ -404,61 +507,103 @@ class DecodeEngine:
             if self._stop:
                 self._fail_pending(RuntimeError("DecodeEngine closed"))
                 return
-            # admit into free slots at the token boundary
             self._state_lock.acquire()
+            # stage new admissions into free, unreserved slots
+            reserved = {p.slot for p in self._pending}
             for slot in range(self.max_batch):
-                if self._slots[slot] is None:
+                if self._slots[slot] is None and slot not in reserved:
                     try:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
                     try:
-                        self._admit(req, slot)
+                        self._start_admit(req, slot)
+                        reserved.add(slot)
                     except Exception as e:  # pragma: no cover
                         if not req.future.done():  # may be cancelled
                             req.future.set_exception(e)
+            # advance the HEAD admission by one chunk — at most one chunk
+            # per iteration, so active slots' decode-step gap is bounded by
+            # one chunk's compute (not the whole prompt)
+            if self._pending:
+                p = self._pending[0]
+                try:
+                    self._advance_admission(p)
+                except Exception as e:  # pragma: no cover
+                    self._pending.remove(p)
+                    if not p.req.future.done():
+                        p.req.future.set_exception(e)
             self._retire_done()
             active = [s for s in self._slots if s is not None]
-            if not active:
+            if not active and not self._pending:
                 self._state_lock.release()
                 time.sleep(self.max_wait_s)
                 continue
-            try:
-                self._cache, nxt, self._pos = self._step_fn(
-                    self.variables, self._cache, self._tok, self._pos,
-                    self._next_key())
-                toks = np.asarray(nxt)
-            except Exception as e:  # device failure: fail fast, don't hang
-                for req in self._slots:
-                    if req is not None and not req.future.done():
-                        req.future.set_exception(e)
-                self._slots = [None] * self.max_batch
-                with self._lifecycle_lock:
-                    self._stop = True
-                for req in self._drain_queue():
-                    req.future.set_exception(e)
-                self._state_lock.release()
-                return
-            self._tok = nxt
-            for slot, req in enumerate(self._slots):
-                if req is not None and not self._finished(req):
-                    req.tokens.append(int(toks[slot]))
-            self.stats["steps"] += 1
-            self.stats["slot_tokens"] += self.max_batch
-            self.stats["active_token_sum"] += len(active)
-            self._retire_done()
+            if active:
+                try:
+                    self._cache, nxt, self._pos = self._step_fn(
+                        self.variables, self._cache, self._tok, self._pos,
+                        self._next_key())
+                    toks = np.asarray(nxt)
+                except Exception as e:  # device failure: fail fast
+                    with self._lifecycle_lock:
+                        self._stop = True
+                    self._fail_pending(e)
+                    self._state_lock.release()
+                    return
+                self._tok = nxt
+                for slot, req in enumerate(self._slots):
+                    if req is not None and not self._finished(req):
+                        req.tokens.append(int(toks[slot]))
+                self.stats["steps"] += 1
+                self.stats["slot_tokens"] += self.max_batch
+                self.stats["active_token_sum"] += len(active)
+                self._retire_done()
             self._state_lock.release()
+
+
+def _filter_logits(logits, temperature: float, top_k: Optional[int]):
+    """Temperature + top-k logits filter (same transform as
+    :func:`make_sampler`); last axis is the vocab."""
+    scaled = logits / jnp.float32(temperature)
+    if top_k is not None:
+        kth = jnp.sort(scaled, axis=-1)[..., -top_k][..., None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    return scaled
 
 
 def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
                               k: int = 4, cache_dtype=jnp.float32,
+                              temperature: float = 0.0,
+                              top_k: Optional[int] = None,
                               return_stats: bool = False,
                               jit: bool = True):
-    """Greedy speculative decoding: a cheap ``draft`` LM proposes ``k``
-    tokens per round, the ``target`` verifies them in ONE forward (k
-    positions = one weight stream, the same HBM cost as a single decode
-    step), and the longest agreeing prefix plus the target's correction is
-    emitted.  Output is EXACTLY the target's greedy decode, by construction.
+    """Speculative decoding: a cheap ``draft`` LM proposes ``k`` tokens per
+    round, the ``target`` verifies them in ONE forward (k positions = one
+    weight stream, the same HBM cost as a single decode step), and the
+    longest accepted prefix plus a correction/bonus token is emitted.
+
+    ``temperature <= 0`` (default): greedy — draft proposals are accepted
+    while they match the target's argmax; output is EXACTLY the target's
+    greedy decode, by construction.
+
+    ``temperature > 0``: STOCHASTIC speculative sampling (the standard
+    accept/reject scheme): the draft SAMPLES k proposals from its filtered
+    distribution q, the target computes its filtered distribution p at all
+    k+1 positions in one forward, and proposal ``x`` is accepted with
+    probability ``min(1, p(x)/q(x))``; on the first rejection the token is
+    resampled from the residual ``normalize(max(p − q, 0))``, and when all
+    k are accepted a bonus token is sampled from p at position k+1.  The
+    emitted sequence is distributed EXACTLY as the target's own filtered
+    sampling — the same ``temperature``/``top_k`` transform the plain
+    decode path's :func:`make_sampler` applies (``logits/T`` then top-k
+    mask) — independent of the draft (the draft only controls the speedup).
+    ``generate`` then takes a PRNG key: ``generate(tvars, dvars, prompt,
+    key)``.  All randomness is keyed by ABSOLUTE output position (three
+    disjoint fold_in streams: proposals/bonus, acceptance uniforms,
+    residual resamples), so with ``draft == target`` every acceptance test
+    passes (p == q up to float rounding) and the output is token-for-token
+    the plain keyed sampling of the target.
 
     TPU-native mechanics (all static shapes, one compiled program):
 
@@ -492,6 +637,11 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
             f"prompt_len + n_new + k = {prompt_len + n_new + k} exceeds "
             f"max_len = {min(target.max_len, draft.max_len)} "
             "(speculative verification needs k tokens of cache headroom)")
+    if temperature > 0.0:
+        return _make_sampled_speculative(
+            target, draft, prompt_len, n_new, k=k, cache_dtype=cache_dtype,
+            temperature=temperature, top_k=top_k, return_stats=return_stats,
+            jit=jit)
 
     def generate(tvars, dvars, prompt):
         if prompt.shape != (1, prompt_len):
@@ -561,6 +711,121 @@ def make_speculative_generate(target, draft, prompt_len: int, n_new: int, *,
     return jax.jit(generate) if jit else generate
 
 
+def _make_sampled_speculative(target, draft, prompt_len: int, n_new: int, *,
+                              k: int, cache_dtype, temperature: float,
+                              top_k: Optional[int], return_stats: bool,
+                              jit: bool):
+    """Stochastic speculative sampling body of
+    :func:`make_speculative_generate` (temperature > 0); see its docstring
+    for semantics.  Shares the greedy path's cache mechanics (rollback =
+    don't advance the position; overwrite-before-first-exposure).
+    """
+
+    def generate(tvars, dvars, prompt, key):
+        if prompt.shape != (1, prompt_len):
+            raise ValueError(f"speculative decode is B=1: prompt shape "
+                             f"{prompt.shape} != (1, {prompt_len})")
+        # Three disjoint key streams, each folded by ABSOLUTE output
+        # position j: proposals/bonus (the draft's sample at position j IS
+        # the target's sample there when p == q), acceptance uniforms, and
+        # residual resamples.
+        ks = jax.random.fold_in(key, 1)
+        ka = jax.random.fold_in(key, 2)
+        kr = jax.random.fold_in(key, 3)
+
+        tlog, tcache, pos = prefill(target, tvars, prompt,
+                                    cache_dtype=cache_dtype)
+        _, dcache, _ = prefill(draft, dvars, prompt, cache_dtype=cache_dtype)
+        first = jax.random.categorical(
+            jax.random.fold_in(ks, 0),
+            _filter_logits(tlog[0], temperature, top_k)).astype(jnp.int32)
+        out = jnp.zeros((n_new + k + 1,), jnp.int32)
+        out = out.at[0].set(first)
+
+        def round_body(carry):
+            out, count, last, tcache, dcache, pos, rounds = carry
+
+            def draft_step(c, i):
+                tok, dc, p = c
+                logits, dc = draft.apply(dvars, tok[None, None], cache=dc,
+                                         cache_index=p)
+                fl = _filter_logits(logits[0, -1], temperature, top_k)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(ks, count + i), fl).astype(jnp.int32)
+                return (nxt, dc, p + 1), (nxt, fl)
+
+            # k+1 draft steps: k proposals + consuming d_k (its extra
+            # proposal is discarded; position count+k's key is reused by the
+            # bonus sample, which is exactly the plain decode's sample there
+            # when draft == target)
+            (_, dcache, _), (d_all, dfl_all) = jax.lax.scan(
+                draft_step, (last, dcache, pos), jnp.arange(k + 1))
+            d = d_all[:k]                                   # (k,)
+            q = jax.nn.softmax(dfl_all[:k], axis=-1)        # (k, vocab)
+
+            v = jnp.concatenate([last[None], d])            # (k+1,)
+            logits, tcache = target.apply(tvars, v[None, :], cache=tcache,
+                                          cache_index=pos)
+            tfl = _filter_logits(logits[0], temperature, top_k)  # (k+1, V)
+            p = jax.nn.softmax(tfl, axis=-1)                     # (k+1, V)
+
+            # accept proposal i iff u_i < p(d_i)/q(d_i)  (q(d_i) > 0 a.s. —
+            # d_i was sampled from q); m = longest accepted prefix
+            p_d = jnp.take_along_axis(p[:k], d[:, None], 1)[:, 0]
+            q_d = jnp.take_along_axis(q, d[:, None], 1)[:, 0]
+            u = jax.vmap(lambda i: jax.random.uniform(
+                jax.random.fold_in(ka, count + i)))(jnp.arange(k))
+            accept = (u * q_d < p_d).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(accept))                # 0..k
+
+            # correction token at position count+m:
+            #  - m < k (rejection): resample from max(p_m − q_m, 0); the
+            #    residual sums to 0 only if p == q exactly there (then the
+            #    acceptance test can't have rejected — guard for float dust
+            #    by falling back to p_m)
+            #  - m == k (all accepted): bonus sample from p_k
+            p_m = jax.lax.dynamic_index_in_dim(p, m, 0, keepdims=False)
+            q_m = jax.lax.dynamic_index_in_dim(
+                jnp.concatenate([q, jnp.zeros_like(q[:1])]), m, 0,
+                keepdims=False)
+            tfl_m = jax.lax.dynamic_index_in_dim(tfl, m, 0, keepdims=False)
+            resid = jnp.maximum(p_m - q_m, 0.0)
+            resid_logits = jnp.where(jnp.sum(resid) > 0.0, jnp.log(resid),
+                                     tfl_m)
+            z_rej = jax.random.categorical(
+                jax.random.fold_in(kr, count + m), resid_logits)
+            z_bonus = jax.random.categorical(
+                jax.random.fold_in(ks, count + k), tfl[k])
+            z = jnp.where(m == k, z_bonus, z_rej).astype(jnp.int32)
+
+            emit = jnp.concatenate([d, jnp.zeros((1,), jnp.int32)])
+            emit = emit.at[m].set(z)                        # (k+1,)
+            len_e = m + 1                                   # 1..k+1
+            # same vmap-safety guard + garbage-beyond-len_e argument as the
+            # greedy path (see make_speculative_generate)
+            out = jnp.where(count < n_new,
+                            jax.lax.dynamic_update_slice(out, emit, (count,)),
+                            out)
+            return (out, count + len_e, z, tcache, dcache, pos + len_e,
+                    rounds + 1)
+
+        def cond(carry):
+            return carry[1] < n_new
+
+        out, count, _, _, _, _, rounds = jax.lax.while_loop(
+            cond, round_body,
+            (out, jnp.asarray(1, jnp.int32), first, tcache, dcache, pos,
+             jnp.asarray(0, jnp.int32)))
+        toks = out[:n_new][None, :]
+        if return_stats:
+            return toks, {"rounds": rounds,
+                          "accepted_per_round": (count - 1) / jnp.maximum(
+                              rounds, 1)}
+        return toks
+
+    return jax.jit(generate) if jit else generate
+
+
 class SpeculativeDecodeEngine:
     """Token-level continuous batching WITH speculative decoding: every
     dispatcher iteration advances all active slots by one draft-propose /
@@ -569,8 +834,13 @@ class SpeculativeDecodeEngine:
     Combines the two serving mechanisms above: the per-slot vector
     ``cache_index`` machinery (each slot at its own depth) and the
     speculative round (draft scans k tokens, target verifies them in ONE
-    k-position forward).  Output per request is EXACTLY the target's greedy
-    decode.  Slots accept/retire at round boundaries.
+    k-position forward).  Greedy (default): output per request is EXACTLY
+    the target's greedy decode.  With ``temperature > 0`` (and ``rng``),
+    rounds run STOCHASTIC speculative sampling (same accept/reject scheme
+    as :func:`make_speculative_generate`, vectorized over slots): each
+    request's output is distributed as the target's own
+    temperature/``top_k`` sampling.  Slots accept/retire at round
+    boundaries.
 
     Two global KV caches (target + draft), both with the
     overwrite-before-first-exposure parking discipline; a parked slot's
@@ -584,9 +854,15 @@ class SpeculativeDecodeEngine:
     def __init__(self, target, draft, target_vars, draft_vars, *,
                  max_batch: int = 4, prompt_buckets: Sequence[int] = (32, 128),
                  k: int = 4, cache_dtype=jnp.float32,
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 rng=None, prefill_chunk: Optional[int] = 32,
                  max_wait_ms: float = 2.0):
         if k < 1:
             raise ValueError("k must be >= 1")
+        if temperature > 0.0 and rng is None:
+            raise ValueError("temperature > 0 needs an rng key")
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError("prefill_chunk must be >= 1 or None")
         if target.vocab != draft.vocab:
             raise ValueError("target and draft must share a vocab")
         if k + 2 >= min(target.max_len, draft.max_len):
@@ -611,30 +887,48 @@ class SpeculativeDecodeEngine:
         self._pos = jnp.full((max_batch,), park, jnp.int32)
         self._park = park
         self._tok = jnp.zeros((max_batch,), jnp.int32)
+        self._rng = rng
+        self._sampled = temperature > 0.0
+        self._counter = 0
+        self.prefill_chunk = prefill_chunk
+        sampled = self._sampled
 
-        def _prefill_insert(tvars, dvars, tcache, dcache, prompt, true_len,
-                            slot):
-            def one(model, variables, cache):
-                sc = jax.tree.map(
-                    lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), cache)
-                logits, sc = model.apply(variables, prompt, cache=sc,
-                                         cache_index=jnp.zeros((), jnp.int32))
-                new = jax.tree.map(
+        def _chunk(tvars, dvars, t_sc, d_sc, tokens, start):
+            """One admission chunk through BOTH models' private slot caches
+            (see DecodeEngine: chunked admission bounds the round gap)."""
+            _, t_sc = self.target.apply(tvars, tokens, cache=t_sc,
+                                        cache_index=start)
+            _, d_sc = self.draft.apply(dvars, tokens, cache=d_sc,
+                                       cache_index=start)
+            return t_sc, d_sc
+
+        def _final_chunk(tvars, dvars, tcache, dcache, t_sc, d_sc, tokens,
+                         start, true_len, slot, key):
+            tlogits, t_sc = self.target.apply(tvars, tokens, cache=t_sc,
+                                              cache_index=start)
+            _, d_sc = self.draft.apply(dvars, tokens, cache=d_sc,
+                                       cache_index=start)
+
+            def insert(cache, sc):
+                return jax.tree.map(
                     lambda g, s: jax.lax.dynamic_update_slice(
                         g, s.astype(g.dtype), (slot,) + (0,) * (g.ndim - 1)),
                     cache, sc)
-                return logits, new
 
-            tlogits, tcache = one(self.target, tvars, tcache)
-            _, dcache = one(self.draft, dvars, dcache)
-            last = jax.lax.dynamic_index_in_dim(tlogits[0], true_len - 1,
-                                                axis=0, keepdims=False)
-            first = jnp.argmax(last, -1).astype(jnp.int32)
+            tcache, dcache = insert(tcache, t_sc), insert(dcache, d_sc)
+            last = jax.lax.dynamic_index_in_dim(
+                tlogits[0], true_len - 1 - start, axis=0, keepdims=False)
+            if sampled:
+                first = jax.random.categorical(
+                    key, _filter_logits(last, temperature, top_k)
+                ).astype(jnp.int32)
+            else:
+                first = jnp.argmax(last, -1).astype(jnp.int32)
             return tcache, dcache, first
 
         kk = self.k
 
-        def _round(tvars, dvars, tcache, dcache, last, pos):
+        def _round_greedy(tvars, dvars, tcache, dcache, last, pos, key):
             def draft_step(c, _):
                 tok, dc, p = c
                 logits, dc = self.draft.apply(dvars, tok[:, None], cache=dc,
@@ -656,16 +950,70 @@ class SpeculativeDecodeEngine:
             pos = jnp.minimum(pos + len_e, self._park)
             return tcache, dcache, g, len_e, last, pos
 
-        self._prefill_fn = jax.jit(_prefill_insert, donate_argnums=(2, 3))
+        def _round_sampled(tvars, dvars, tcache, dcache, last, pos, key):
+            """Accept/reject speculative sampling, vectorized over slots
+            (the engine analogue of _make_sampled_speculative; keys are
+            fresh per round rather than position-folded — slots sit at
+            differing depths, and only distributional correctness matters
+            here)."""
+            B = self.max_batch
+            ks, ka, kr, kb = (jax.random.fold_in(key, i) for i in range(4))
+
+            def draft_step(c, i):
+                tok, dc, p = c
+                logits, dc = self.draft.apply(dvars, tok[:, None], cache=dc,
+                                              cache_index=p)
+                fl = _filter_logits(logits[:, -1], temperature, top_k)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(ks, i), fl, axis=-1).astype(jnp.int32)
+                return (nxt, dc, p + 1), (nxt, fl)
+
+            (_, dcache, _), (d_all, dfl_all) = jax.lax.scan(
+                draft_step, (last, dcache, pos), jnp.arange(kk + 1))
+            d = d_all.T[:, :kk]                                # (B, k)
+            q = jnp.moveaxis(jax.nn.softmax(dfl_all[:kk], -1), 0, 1)  # B,k,V
+            v = jnp.concatenate([last[:, None], d], axis=1)    # (B, k+1)
+            logits, tcache = self.target.apply(tvars, v, cache=tcache,
+                                               cache_index=pos)
+            tfl = _filter_logits(logits, temperature, top_k)   # (B, k+1, V)
+            p = jax.nn.softmax(tfl, axis=-1)
+            p_d = jnp.take_along_axis(p[:, :kk], d[..., None], 2)[..., 0]
+            q_d = jnp.take_along_axis(q, d[..., None], 2)[..., 0]
+            u = jax.random.uniform(ka, (B, kk))
+            accept = (u * q_d < p_d).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)   # (B,) 0..k
+            p_m = jnp.take_along_axis(p, m[:, None, None], 1)[:, 0]   # (B,V)
+            q_pad = jnp.concatenate([q, jnp.zeros_like(q[:, :1])], 1)
+            q_m = jnp.take_along_axis(q_pad, m[:, None, None], 1)[:, 0]
+            tfl_m = jnp.take_along_axis(tfl, m[:, None, None], 1)[:, 0]
+            resid = jnp.maximum(p_m - q_m, 0.0)
+            resid_logits = jnp.where(
+                jnp.sum(resid, -1, keepdims=True) > 0.0, jnp.log(resid),
+                tfl_m)
+            z_rej = jax.random.categorical(kr, resid_logits, axis=-1)
+            z_bonus = jax.random.categorical(kb, tfl[:, kk], axis=-1)
+            z = jnp.where(m == kk, z_bonus, z_rej).astype(jnp.int32)
+            emit = jnp.concatenate(
+                [d, jnp.zeros((B, 1), jnp.int32)], axis=1)     # (B, k+1)
+            emit = emit.at[jnp.arange(B), m].set(z)
+            len_e = m + 1
+            pos = jnp.minimum(pos + len_e, self._park)
+            return tcache, dcache, emit, len_e, z, pos
+
+        _round = _round_sampled if sampled else _round_greedy
+        self._chunk_fn = jax.jit(_chunk, donate_argnums=(2, 3))
+        self._final_fn = jax.jit(_final_chunk, donate_argnums=(2, 3, 4, 5))
         self._round_fn = jax.jit(_round, donate_argnums=(2, 3))
 
         self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
         self._slots: list = [None] * max_batch
+        self._pending: list = []  # in-flight chunked admissions (FIFO)
         self._lifecycle_lock = threading.Lock()
         self._state_lock = threading.Lock()  # dispatcher iteration vs warmup
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
-        self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0}
+        self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0,
+                      "admission_chunks": 0, "admission_interleave": []}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -693,17 +1041,25 @@ class SpeculativeDecodeEngine:
             return self._warmup_locked()
 
     def _warmup_locked(self):
-        if any(slot is not None for slot in self._slots):
+        if any(slot is not None for slot in self._slots) or self._pending:
             raise RuntimeError("warmup() must run before requests are in "
                                "flight (it resets the KV caches)")
         zeros = jnp.zeros((self.max_batch,), jnp.int32)
         tcache, dcache, *_ = self._round_fn(
             self.tvars, self.dvars, self._tcache, self._dcache, zeros,
-            self._pos)
-        for b in self.buckets:
-            tcache, dcache, first = self._prefill_fn(
-                self.tvars, self.dvars, tcache, dcache,
-                jnp.zeros((1, b), jnp.int32), 1, 0)
+            self._pos, self._next_key())
+        for c in sorted({self._chunk_len(b) for b in self.buckets}):
+            t_sc = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), tcache)
+            d_sc = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), dcache)
+            toks = jnp.zeros((1, c), jnp.int32)
+            t_sc, d_sc = self._chunk_fn(self.tvars, self.dvars, t_sc, d_sc,
+                                        toks, jnp.asarray(0, jnp.int32))
+            tcache, dcache, first = self._final_fn(
+                self.tvars, self.dvars, tcache, dcache, t_sc, d_sc, toks,
+                jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+                jnp.asarray(0, jnp.int32), self._next_key())
             jax.block_until_ready(first)
         self._tcache = jax.tree.map(jnp.zeros_like, tcache)
         self._dcache = jax.tree.map(jnp.zeros_like, dcache)
@@ -728,20 +1084,51 @@ class SpeculativeDecodeEngine:
     _fail_pending = DecodeEngine._fail_pending
     _drain_queue = DecodeEngine._drain_queue
     _cancel_pending = DecodeEngine._cancel_pending
+    _next_key = DecodeEngine._next_key
+    _chunk_len = DecodeEngine._chunk_len
 
-    def _admit(self, req: _GenRequest, slot: int):
+    def _start_admit(self, req: _GenRequest, slot: int):
+        """Reserve a slot and stage the prompt for chunked admission (both
+        models' private slot caches); see DecodeEngine._start_admit."""
         b = next(b for b in self.buckets if b >= req.prompt.size)
-        padded = np.zeros((1, b), np.int32)
+        c = self._chunk_len(b)
+        n_chunks = -(-req.prompt.size // c)
+        padded = np.zeros((1, n_chunks * c), np.int32)
         padded[0, : req.prompt.size] = req.prompt
-        self._tcache, self._dcache, first = self._prefill_fn(
-            self.tvars, self.dvars, self._tcache, self._dcache,
-            jnp.asarray(padded), req.prompt.size, slot)
-        self._tok = self._tok.at[slot].set(first)
-        self._pos = self._pos.at[slot].set(req.prompt.size)
-        req.tokens.append(int(first))
+        t_sc = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._tcache)
+        d_sc = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._dcache)
         req.slot = slot
-        self._slots[slot] = req
-        self.stats["requests"] += 1
+        self._pending.append(_PendingAdmit(
+            req=req, slot=slot, slot_cache=(t_sc, d_sc), chunk_idx=0,
+            n_chunks=n_chunks, padded=padded, c=c,
+            steps_at_start=self.stats["rounds"]))
+
+    def _advance_admission(self, p: "_PendingAdmit"):
+        i = p.chunk_idx
+        toks = jnp.asarray(p.padded[:, i * p.c:(i + 1) * p.c])
+        start = jnp.asarray(i * p.c, jnp.int32)
+        t_sc, d_sc = p.slot_cache
+        if i < p.n_chunks - 1:
+            p.slot_cache = self._chunk_fn(self.tvars, self.dvars, t_sc, d_sc,
+                                          toks, start)
+            p.chunk_idx += 1
+        else:
+            self._tcache, self._dcache, first = self._final_fn(
+                self.tvars, self.dvars, self._tcache, self._dcache, t_sc,
+                d_sc, toks, start,
+                jnp.asarray(p.req.prompt.size, jnp.int32),
+                jnp.asarray(p.slot, jnp.int32), self._next_key())
+            self._tok = self._tok.at[p.slot].set(first)
+            self._pos = self._pos.at[p.slot].set(p.req.prompt.size)
+            p.req.tokens.append(int(first))
+            self._slots[p.slot] = p.req
+            self._pending.remove(p)
+            self.stats["requests"] += 1
+            self.stats["admission_interleave"].append(
+                self.stats["rounds"] - p.steps_at_start)
+        self.stats["admission_chunks"] += 1
 
     def _retire_done(self):
         for slot, req in enumerate(self._slots):
@@ -759,42 +1146,55 @@ class SpeculativeDecodeEngine:
                     RuntimeError("SpeculativeDecodeEngine closed"))
                 return
             self._state_lock.acquire()
+            reserved = {p.slot for p in self._pending}
             for slot in range(self.max_batch):
-                if self._slots[slot] is None:
+                if self._slots[slot] is None and slot not in reserved:
                     try:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
                     try:
-                        self._admit(req, slot)
+                        self._start_admit(req, slot)
+                        reserved.add(slot)
                     except Exception as e:  # pragma: no cover
                         if not req.future.done():  # may be cancelled
                             req.future.set_exception(e)
+            # one admission chunk per iteration: active slots' round gap is
+            # bounded by one chunk's compute (see DecodeEngine._loop)
+            if self._pending:
+                p = self._pending[0]
+                try:
+                    self._advance_admission(p)
+                except Exception as e:  # pragma: no cover
+                    self._pending.remove(p)
+                    if not p.req.future.done():
+                        p.req.future.set_exception(e)
             self._retire_done()
             active = [s for s in self._slots if s is not None]
-            if not active:
+            if not active and not self._pending:
                 self._state_lock.release()
                 time.sleep(self.max_wait_s)
                 continue
-            try:
-                (self._tcache, self._dcache, g, len_e, self._tok,
-                 self._pos) = self._round_fn(
-                    self.tvars, self.dvars, self._tcache, self._dcache,
-                    self._tok, self._pos)
-                g_np, len_np = np.asarray(g), np.asarray(len_e)
-            except Exception as e:
-                with self._lifecycle_lock:
-                    self._stop = True  # before draining: no post-drain enqueue
-                self._fail_pending(e)
-                self._state_lock.release()
-                return
-            for slot, req in enumerate(self._slots):
-                if req is None:
-                    continue
-                for j in range(int(len_np[slot])):
-                    if len(req.tokens) < req.n_new:
-                        req.tokens.append(int(g_np[slot, j]))
-                        self.stats["accepted_tokens"] += 1
-            self.stats["rounds"] += 1
-            self._retire_done()
+            if active:
+                try:
+                    (self._tcache, self._dcache, g, len_e, self._tok,
+                     self._pos) = self._round_fn(
+                        self.tvars, self.dvars, self._tcache, self._dcache,
+                        self._tok, self._pos, self._next_key())
+                    g_np, len_np = np.asarray(g), np.asarray(len_e)
+                except Exception as e:
+                    with self._lifecycle_lock:
+                        self._stop = True  # before drain: no later enqueue
+                    self._fail_pending(e)
+                    self._state_lock.release()
+                    return
+                for slot, req in enumerate(self._slots):
+                    if req is None:
+                        continue
+                    for j in range(int(len_np[slot])):
+                        if len(req.tokens) < req.n_new:
+                            req.tokens.append(int(g_np[slot, j]))
+                            self.stats["accepted_tokens"] += 1
+                self.stats["rounds"] += 1
+                self._retire_done()
             self._state_lock.release()

@@ -527,3 +527,375 @@ class TestSpeculativeEngine:
         with pytest.raises(ValueError, match="k .* too large"):
             SpeculativeDecodeEngine(target, draft, tvars, dvars,
                                     max_batch=2, prompt_buckets=(8,), k=30)
+
+
+class TestSpeculativeSampling:
+    """Stochastic speculative sampling (VERDICT r2 next-#2): (i) temperature
+    0 degenerates to the greedy path bit-for-bit; (ii) with the target as
+    its own draft, position-folded keys make the output token-for-token
+    identical to plain keyed sampling of the target; (iii) with a weak
+    draft, the empirical output distribution matches plain sampling's
+    (the accept/reject scheme preserves the target distribution
+    independently of the draft)."""
+
+    @pytest.fixture(scope="class")
+    def models(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        target = QuantTransformerLM(vocab=16, dim=32, depth=2, num_heads=4,
+                                    qconfig=qc, max_len=32)
+        draft = QuantTransformerLM(vocab=16, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=32)
+        r = np.random.RandomState(50)
+        tok = jnp.asarray(r.randint(0, 16, (1, 4)))
+        tvars = disable_observer(target.init(jax.random.key(11), tok,
+                                             training=False))
+        dvars = disable_observer(draft.init(jax.random.key(12), tok,
+                                            training=False))
+        return target, tvars, draft, dvars, tok
+
+    def _plain_keyed_sampling(self, model, variables, prompt, n_new, key,
+                              temperature, top_k):
+        """Reference: plain decode sampling token j from the model's
+        filtered logits with key fold_in(fold_in(key, 1), j) — the exact key
+        discipline the speculative sampler uses for proposals/bonus."""
+        from jaxlsq.serve.decode import _filter_logits, prefill
+
+        ks = jax.random.fold_in(key, 1)
+        last, cache, idx = prefill(model, variables, prompt)
+        toks = []
+        tok = jax.random.categorical(
+            jax.random.fold_in(ks, 0),
+            _filter_logits(last[0], temperature, top_k)).astype(jnp.int32)
+        toks.append(int(tok))
+        step = jax.jit(lambda v, t, c, i: model.apply(
+            v, t, cache=c, cache_index=i))
+        for j in range(1, n_new):
+            logits, cache = step(variables, tok[None, None], cache, idx)
+            tok = jax.random.categorical(
+                jax.random.fold_in(ks, j),
+                _filter_logits(logits[0, -1], temperature,
+                               top_k)).astype(jnp.int32)
+            toks.append(int(tok))
+            idx = idx + 1
+        return np.asarray(toks, np.int32)
+
+    def test_temp0_is_greedy_bitforbit(self, models):
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, draft, dvars, tok = models
+        greedy = make_speculative_generate(target, draft, 4, 10, k=3)
+        t0 = make_speculative_generate(target, draft, 4, 10, k=3,
+                                       temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(t0(tvars, dvars, tok)),
+                                      np.asarray(greedy(tvars, dvars, tok)))
+
+    @pytest.mark.parametrize("k,top_k", [(3, None), (2, 5)])
+    def test_selfdraft_equals_plain_keyed_sampling(self, models, k, top_k):
+        """draft == target: every acceptance test passes (p == q), so the
+        emitted tokens ARE the draft's position-keyed samples — which by the
+        shared key discipline are plain sampling's tokens, bit-for-bit."""
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, _, _, tok = models
+        n_new, temp = 12, 0.8
+        spec = make_speculative_generate(target, target, 4, n_new, k=k,
+                                         temperature=temp, top_k=top_k,
+                                         return_stats=True)
+        for seed in (0, 1, 2):
+            key = jax.random.key(100 + seed)
+            got, stats = spec(tvars, tvars, tok, key)
+            want = self._plain_keyed_sampling(target, tvars, tok, n_new, key,
+                                              temp, top_k)
+            np.testing.assert_array_equal(np.asarray(got)[0], want)
+            # self-draft: every round accepts all k and emits the bonus too
+            assert float(stats["accepted_per_round"]) == pytest.approx(k + 1)
+
+    def test_weak_draft_distribution_matches_plain(self, models):
+        """Accept/reject must preserve the target distribution regardless of
+        the draft: empirical per-position token histograms over many keys
+        match plain sampling's (total-variation bound; a draft-shaped bias
+        would far exceed it)."""
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        target, tvars, draft, dvars, tok = models
+        n_new, temp, n_keys = 4, 1.0, 512
+        spec = make_speculative_generate(target, draft, 4, n_new, k=3,
+                                         temperature=temp, jit=False)
+        keys = jax.random.split(jax.random.key(7), n_keys)
+        got = np.asarray(jax.jit(jax.vmap(
+            lambda kk: spec(tvars, dvars, tok, kk)[0]))(keys))  # (N, n_new)
+
+        plain = np.asarray(jax.jit(jax.vmap(
+            lambda kk: self._plain_vectorized(target, tvars, tok, n_new, kk,
+                                              temp)))(keys))
+
+        V = 16
+        for pos in range(n_new):
+            ha = np.bincount(got[:, pos], minlength=V) / n_keys
+            hb = np.bincount(plain[:, pos], minlength=V) / n_keys
+            tvd = 0.5 * np.abs(ha - hb).sum()
+            # E[TVD] between two N=512 empirical draws of the same V=16
+            # distribution is ~0.07; a draft-vs-target distribution mismatch
+            # in this fixture measures >0.5
+            assert tvd < 0.2, (pos, tvd)
+
+    @staticmethod
+    def _plain_vectorized(model, variables, prompt, n_new, key, temperature):
+        """Scan-fused plain keyed sampling (same per-position fold as the
+        speculative sampler) — jit/vmap-friendly reference."""
+        from jaxlsq.serve.decode import _filter_logits, prefill
+
+        ks = jax.random.fold_in(key, 1)
+        last, cache, idx = prefill(model, variables, prompt)
+        first = jax.random.categorical(
+            jax.random.fold_in(ks, 0),
+            _filter_logits(last[0], temperature, None)).astype(jnp.int32)
+
+        def step(carry, j):
+            tok, cache, idx = carry
+            logits, cache = model.apply(variables, tok[None, None],
+                                        cache=cache, cache_index=idx)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(ks, j),
+                _filter_logits(logits[0, -1], temperature,
+                               None)).astype(jnp.int32)
+            return (nxt, cache, idx + 1), nxt
+
+        (_, _, _), rest = jax.lax.scan(step, (first, cache, idx),
+                                       jnp.arange(1, n_new))
+        return jnp.concatenate([first[None], rest])
+
+    def test_sampled_engine_completes(self, models):
+        """SpeculativeDecodeEngine with temperature > 0: requests complete
+        with the right lengths and in-range tokens; stats advance."""
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars, tok = models
+        r = np.random.RandomState(60)
+        with SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                     max_batch=2, prompt_buckets=(4, 8),
+                                     k=3, temperature=0.9, top_k=8,
+                                     rng=jax.random.key(21)) as eng:
+            futs = [eng.submit(r.randint(0, 16, size=r.randint(2, 7)),
+                               int(r.randint(2, 7))) for _ in range(5)]
+            outs = [f.result(timeout=600) for f in futs]
+        for f, out in zip(futs, outs):
+            assert out.dtype == np.int32 and out.ndim == 1
+            assert np.all((out >= 0) & (out < 16))
+        assert eng.stats["requests"] == 5
+
+    def test_sampled_engine_requires_rng(self, models):
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars, tok = models
+        with pytest.raises(ValueError, match="rng"):
+            SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                    temperature=0.5)
+
+
+class TestInt8KVCache:
+    """INT8 KV cache (VERDICT r2 next-#3): per-row symmetric quantization on
+    write, scales folded into the attention dots.  Logits must track the
+    f32-cache logits closely, and every decode path must accept the
+    quantized layout."""
+
+    def test_cache_layout(self, qat_setup):
+        model, variables, tokens, qc = qat_setup
+        cache = init_kv_cache(model, 2, dtype=jnp.int8)
+        assert len(cache) == model.depth
+        (kd, ks), (vd, vs) = cache[0]
+        hd = model.dim // model.num_heads
+        assert kd.shape == (2, model.num_heads, model.max_len, hd)
+        assert kd.dtype == jnp.int8 and vd.dtype == jnp.int8
+        assert ks.shape == (2, model.num_heads, model.max_len)
+        assert ks.dtype == jnp.float32
+
+    def test_prefill_and_decode_logits_close(self, qat_setup):
+        """Prefill + several decode steps: int8-cache logits within int8
+        quantization tolerance of the f32-cache logits at every step."""
+        model, variables, tokens, qc = qat_setup
+        t0 = 6
+        want, _ = _decode_logits(model, variables, tokens, t0)
+
+        last, cache, idx = prefill(model, variables, tokens[:, :t0],
+                                   cache_dtype=jnp.int8)
+        step = jax.jit(lambda v, tok, cache, idx: model.apply(
+            v, tok, cache=cache, cache_index=idx))
+        for t in range(t0, tokens.shape[1]):
+            logits, cache = step(variables, tokens[:, t:t + 1], cache, idx)
+            w = np.asarray(want[:, t - t0])
+            g = np.asarray(logits[:, 0])
+            # per-row int8 rel err ~ 2^-8 on k/v; through two attention dots
+            # and the MLP the logit error stays a few % of logit magnitude
+            # (measured ~3.4% worst-case on this random-init fixture)
+            scale = max(1.0, float(np.abs(w).max()))
+            assert np.abs(g - w).max() < 0.05 * scale, t
+            idx = idx + 1
+
+    def test_generate_runs_and_tracks_f32(self, qat_setup):
+        model, variables, tokens, qc = qat_setup
+        gen8 = make_generate(model, 6, 8, cache_dtype=jnp.int8)
+        out8 = np.asarray(gen8(variables, tokens[:, :6]))
+        assert out8.shape == (2, 8)
+        assert ((out8 >= 0) & (out8 < VOCAB)).all()
+
+    def test_engine_int8_cache_exact_vs_lockstep(self, qat_setup):
+        """DecodeEngine with an int8 cache: staggered continuous batching
+        must equal a lockstep int8-cache decode (quantize-on-write is
+        deterministic, so the engine's per-slot path and the scalar path see
+        identical integer caches)."""
+        from jaxlsq.serve.decode import DecodeEngine
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = qat_setup
+        variables = disable_observer(variables)  # decode-parity discipline
+
+        def lockstep(prompt, n_new):
+            last, cache, idx = prefill(model, variables, prompt[None, :],
+                                       cache_dtype=jnp.int8)
+            tok = jnp.argmax(last, -1).astype(jnp.int32)
+            toks = [int(tok[0])]
+            step = jax.jit(lambda v, t, c, i: model.apply(
+                v, t, cache=c, cache_index=i))
+            for _ in range(n_new - 1):
+                logits, cache = step(variables, tok[:, None], cache, idx)
+                tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                toks.append(int(tok[0]))
+                idx = idx + 1
+            return np.asarray(toks, np.int32)
+
+        r = np.random.RandomState(70)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 7)),
+                 int(r.randint(2, 6))) for _ in range(5)]
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4, 8),
+                          cache_dtype=jnp.int8) as eng:
+            futs = [eng.submit(p, n) for p, n in reqs]
+            outs = [f.result(timeout=600) for f in futs]
+        for (p, n), got in zip(reqs, outs):
+            np.testing.assert_array_equal(got, lockstep(jnp.asarray(p), n))
+
+    def test_speculative_int8_cache(self, qat_setup):
+        """Greedy speculative decode over int8 caches still reproduces the
+        target's own greedy decode with the SAME cache dtype (exactness is
+        vs the equally-quantized plain path — the speculative rollback
+        discipline must not disturb the quantized rows)."""
+        from jaxlsq.serve.decode import make_speculative_generate
+
+        model, variables, tokens, qc = qat_setup  # max_len 16: 6+6+2 fits
+        n_new = 6
+        want = np.asarray(make_generate(model, 6, n_new,
+                                        cache_dtype=jnp.int8)(
+            variables, tokens[:1, :6]))
+        got = np.asarray(make_speculative_generate(
+            model, model, 6, n_new, k=2, cache_dtype=jnp.int8)(
+            variables, variables, tokens[:1, :6]))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestChunkedPrefill:
+    """Non-blocking chunked admission (VERDICT r2 next-#4): prefill advances
+    one chunk per dispatcher iteration, interleaved with decode steps, so a
+    long admission cannot stall the running batch.
+
+    Exactness runs with observers DISABLED (the decode-parity discipline of
+    test_decode_matches_full_forward_qat): an ENABLED per-tensor activation
+    observer derives qparams from each call's whole input batch, so a
+    neighbor slot's activations would legitimately perturb this slot's
+    fake-quant — nothing to do with chunking."""
+
+    @pytest.fixture(scope="class")
+    def frozen(self, qat_setup):
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = qat_setup
+        return model, disable_observer(variables), tokens, qc
+
+    def _lockstep(self, model, variables, prompt, n_new):
+        last, cache, idx = prefill(model, variables, jnp.asarray(prompt)[None, :])
+        tok = jnp.argmax(last, -1).astype(jnp.int32)
+        toks = [int(tok[0])]
+        step = jax.jit(lambda v, t, c, i: model.apply(
+            v, t, cache=c, cache_index=i))
+        for _ in range(n_new - 1):
+            logits, cache = step(variables, tok[:, None], cache, idx)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+            idx = idx + 1
+        return np.asarray(toks, np.int32)
+
+    def test_multichunk_admission_exact(self, frozen):
+        """Chunked prefill (chunk < prompt) is bit-exact vs one-shot prefill:
+        every contraction has a fixed extent, the chunk length is purely
+        parallel — staggered results must equal lockstep decode."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        r = np.random.RandomState(81)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 9)),
+                 int(r.randint(2, 6))) for _ in range(6)]
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4, 8), prefill_chunk=3) as eng:
+            futs = []
+            for i, (p, n) in enumerate(reqs):
+                futs.append(eng.submit(p, n))
+                if i % 2 == 1:
+                    time.sleep(0.03)
+            outs = [f.result(timeout=600) for f in futs]
+        assert eng.stats["admission_chunks"] > eng.stats["requests"]  # multi
+        for (p, n), got in zip(reqs, outs):
+            np.testing.assert_array_equal(got, self._lockstep(
+                model, variables, p, n))
+
+    def test_decode_steps_interleave_with_admission(self, frozen):
+        """While a max-bucket prompt is admitted chunk by chunk, the active
+        slot keeps stepping: the dispatcher runs one decode step per chunk
+        iteration, so the recorded interleave count is >= n_chunks - 1."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        r = np.random.RandomState(82)
+        pa = r.randint(0, VOCAB, size=2)
+        pb = r.randint(0, VOCAB, size=8)
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4, 8), prefill_chunk=2) as eng:
+            eng.warmup()
+            a = eng.submit(pa, 10)   # long decoder, stays active
+            b = eng.submit(pb, 2)    # max-bucket prompt: 4-chunk admission
+            ra, rb = a.result(timeout=600), b.result(timeout=600)
+        assert len(ra) == 10 and len(rb) == 2
+        # b's admission spans 4 chunk iterations; a stays active throughout,
+        # so decode steps advanced during the admission window
+        n_chunks_b = -(-8 // 2)
+        assert eng.stats["admission_interleave"][-1] >= n_chunks_b - 1, \
+            eng.stats["admission_interleave"]
+        np.testing.assert_array_equal(ra, self._lockstep(model, variables,
+                                                         pa, 10))
+        np.testing.assert_array_equal(rb, self._lockstep(model, variables,
+                                                         pb, 2))
+
+    def test_speculative_engine_multichunk_exact(self, frozen):
+        """SpeculativeDecodeEngine with multi-chunk admission: staggered
+        results still EXACTLY equal the target's greedy decode."""
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = frozen
+        draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=MAXLEN)
+        dvars = disable_observer(draft.init(jax.random.key(31),
+                                            tokens[:1, :4], training=False))
+        r = np.random.RandomState(83)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 9)),
+                 int(r.randint(2, 5))) for _ in range(4)]
+        with SpeculativeDecodeEngine(model, draft, variables, dvars,
+                                     max_batch=2, prompt_buckets=(4, 8),
+                                     k=2, prefill_chunk=3) as eng:
+            futs = [eng.submit(p, n) for p, n in reqs]
+            outs = [f.result(timeout=600) for f in futs]
+        assert eng.stats["admission_chunks"] > eng.stats["requests"]
+        for (p, n), got in zip(reqs, outs):
+            np.testing.assert_array_equal(got, self._lockstep(
+                model, variables, p, n))
