@@ -215,7 +215,12 @@ def summarize(results, name, seeds, cfgs=("w8a8", "w4a8")):
                 "mean_delta_vs_float": round(m, 5),
                 "ci95_half_width": round(half, 5),
                 "per_seed_deltas": [round(d, 5) for d in deltas],
-                "within_0.1pct_bar": bool(abs(m) + half <= 0.001),
+                # the BASELINE bar protects against DEGRADATION: the CI's
+                # lower edge must not cross -0.1%.  (A QAT model beating
+                # float — common on noisy tasks, quantization regularizes —
+                # trivially satisfies it.)
+                "no_degradation_beyond_0.1pct": bool(m - half >= -0.001),
+                "within_0.1pct_band": bool(abs(m) + half <= 0.001),
             }
 
 

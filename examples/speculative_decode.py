@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--n-new", type=int, default=256)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="0 = greedy (exactness asserted); >0 = stochastic "
+                         "speculative sampling (acceptance = overlap of the "
+                         "two softened distributions, E[min(p,q)] summed)")
     args = ap.parse_args()
 
     qc = default_qconfig(8, 8, init_batches=4)
@@ -103,16 +107,6 @@ def main():
     prompt = np.asarray(corpus_batch(jax.random.key(99), 1))[:, :32]
     prompt = jnp.asarray(prompt)
 
-    plain = make_generate(st, 32, args.n_new)
-    spec = make_speculative_generate(st, sd, 32, args.n_new, k=args.k,
-                                     return_stats=True)
-
-    want = np.asarray(plain(sv_t, prompt))
-    got, stats = spec(sv_t, sv_d, prompt)
-    assert (want == np.asarray(got)).all(), "speculative must equal greedy"
-    acc = float(stats["accepted_per_round"])
-    print(f"exactness ok; accepted/round = {acc:.2f} (k={args.k})", flush=True)
-
     def best_time(fn, *a, rounds=5):
         np.asarray(fn(*a))
         ts = []
@@ -122,12 +116,41 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    tp = best_time(plain, sv_t, prompt)
-    ts_ = best_time(lambda *a: spec(*a)[0], sv_t, sv_d, prompt)
+    if args.temperature > 0:
+        from jaxlsq.serve import make_sampler
+
+        key = jax.random.key(7)
+        plain = make_generate(st, 32, args.n_new, sampled=True,
+                              logits_to_token=make_sampler(args.temperature))
+        spec = make_speculative_generate(st, sd, 32, args.n_new, k=args.k,
+                                         temperature=args.temperature,
+                                         return_stats=True)
+        got, stats = spec(sv_t, sv_d, prompt, key)
+        got = np.asarray(got)
+        assert got.shape == (1, args.n_new)
+        acc = float(stats["accepted_per_round"])
+        print(f"sampled T={args.temperature}; accepted/round = {acc:.2f} "
+              f"(k={args.k})", flush=True)
+        tp = best_time(plain, sv_t, prompt, key)
+        ts_ = best_time(lambda *a: spec(*a)[0], sv_t, sv_d, prompt, key)
+    else:
+        plain = make_generate(st, 32, args.n_new)
+        spec = make_speculative_generate(st, sd, 32, args.n_new, k=args.k,
+                                         return_stats=True)
+        want = np.asarray(plain(sv_t, prompt))
+        got, stats = spec(sv_t, sv_d, prompt)
+        assert (want == np.asarray(got)).all(), "speculative must equal greedy"
+        acc = float(stats["accepted_per_round"])
+        print(f"exactness ok; accepted/round = {acc:.2f} (k={args.k})",
+              flush=True)
+        tp = best_time(plain, sv_t, prompt)
+        ts_ = best_time(lambda *a: spec(*a)[0], sv_t, sv_d, prompt)
+
     res = {
         "accepted_per_round": round(acc, 2),
         "target": "d1024x4 int8", "draft": "d128x1 int8",
         "train_steps": args.steps, "k": args.k, "n_new": args.n_new,
+        "temperature": args.temperature,
         "plain_ms": round(tp * 1e3, 1), "spec_ms": round(ts_ * 1e3, 1),
         "speedup": round(tp / ts_, 2),
         "backend": jax.default_backend(),

@@ -856,7 +856,10 @@ class SpeculativeDecodeEngine:
                  k: int = 4, cache_dtype=jnp.float32,
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  rng=None, prefill_chunk: Optional[int] = 32,
-                 max_wait_ms: float = 2.0):
+                 eos_id: Optional[int] = None, max_wait_ms: float = 2.0):
+        """``eos_id``: retire a request early when it emits this token (the
+        result includes the eos; accepted tokens after it in the same round
+        are dropped — DecodeEngine semantics)."""
         if k < 1:
             raise ValueError("k must be >= 1")
         if temperature > 0.0 and rng is None:
@@ -877,6 +880,7 @@ class SpeculativeDecodeEngine:
         self.tvars, self.dvars = target_vars, draft_vars
         self.max_batch = max_batch
         self.buckets = sorted(prompt_buckets)
+        self.eos_id = eos_id
         self.k = k
         self.max_len = min(target.max_len, draft.max_len)
         self._tcache = init_kv_cache(target, max_batch, dtype=cache_dtype,
@@ -1086,6 +1090,7 @@ class SpeculativeDecodeEngine:
     _cancel_pending = DecodeEngine._cancel_pending
     _next_key = DecodeEngine._next_key
     _chunk_len = DecodeEngine._chunk_len
+    _finished = DecodeEngine._finished
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission (both
@@ -1132,7 +1137,7 @@ class SpeculativeDecodeEngine:
 
     def _retire_done(self):
         for slot, req in enumerate(self._slots):
-            if req is not None and len(req.tokens) >= req.n_new:
+            if req is not None and self._finished(req):
                 if not req.future.done():
                     req.future.set_result(
                         np.asarray(req.tokens[: req.n_new], np.int32))
@@ -1192,9 +1197,10 @@ class SpeculativeDecodeEngine:
                     if req is None:
                         continue
                     for j in range(int(len_np[slot])):
-                        if len(req.tokens) < req.n_new:
-                            req.tokens.append(int(g_np[slot, j]))
-                            self.stats["accepted_tokens"] += 1
+                        if self._finished(req):  # n_new reached or eos
+                            break
+                        req.tokens.append(int(g_np[slot, j]))
+                        self.stats["accepted_tokens"] += 1
                 self.stats["rounds"] += 1
                 self._retire_done()
             self._state_lock.release()

@@ -517,6 +517,25 @@ class TestSpeculativeEngine:
             with pytest.raises(ValueError, match="headroom"):
                 eng.submit(np.zeros(8, np.int32), 25)
 
+    def test_eos_retires_early(self, models):
+        """eos_id support (parity with DecodeEngine): a request retires the
+        round its decode emits eos; the result includes the eos and matches
+        the greedy decode truncated there."""
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+
+        target, tvars, draft, dvars = models
+        r = np.random.RandomState(44)
+        p = r.randint(0, VOCAB, size=5)
+        full = self._greedy(target, tvars, p, 9)
+        eos = int(full[3])  # a token the greedy decode actually emits
+        stop = int(np.argmax(full == eos)) + 1  # first occurrence, inclusive
+        with SpeculativeDecodeEngine(target, draft, tvars, dvars,
+                                     max_batch=2, prompt_buckets=(8,),
+                                     k=3, eos_id=eos) as eng:
+            out = eng.submit(p, 9).result(timeout=600)
+        np.testing.assert_array_equal(out, full[:stop])
+        assert out[-1] == eos
+
     def test_oversized_k_rejected(self, models):
         """ADVICE r2: k + 2 >= max_len makes the parked position <= 0 and
         the round clamp would silently drag active slots backward — must
