@@ -42,6 +42,17 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# persistent compile cache: repeat runs skip the slow remote compiles
+try:
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("JAXLSQ_COMPILE_CACHE",
+                                      "/tmp/jaxlsq_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -229,6 +240,9 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=1,
+                    help="first seed (extend an earlier batch without "
+                         "re-running it; merge the JSONs offline)")
     ap.add_argument("--models", default="resnet18,mobilenetv2")
     ap.add_argument("--out", default="docs/measurements/accuracy_qat_tpu.json")
     args = ap.parse_args()
@@ -249,7 +263,7 @@ def main():
     model_fns = {"resnet18": lambda qc: resnet18_cifar(N_CLASSES, qc),
                  "mobilenetv2": lambda qc: mobilenetv2_cifar(N_CLASSES, qc)}
     for name in args.models.split(","):
-        seeds = list(range(1, args.seeds + 1))
+        seeds = list(range(args.seed_start, args.seed_start + args.seeds))
         for seed in seeds:
             preds, labels = run_seed(model_fns[name], name, args.steps,
                                      args.batch, seed, results)

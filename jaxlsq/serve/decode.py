@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["init_kv_cache", "prefill", "make_generate", "make_sampler",
-           "make_speculative_generate", "DecodeEngine",
+           "make_beam_search", "make_speculative_generate", "DecodeEngine",
            "SpeculativeDecodeEngine"]
 
 
@@ -560,6 +560,120 @@ class DecodeEngine:
                 self.stats["active_token_sum"] += len(active)
                 self._retire_done()
             self._state_lock.release()
+
+
+def make_beam_search(model, prompt_len: int, n_new: int, *, beams: int = 4,
+                     cache_dtype=jnp.float32, eos_id: Optional[int] = None,
+                     length_penalty: float = 0.0, jit: bool = True):
+    """Beam-search decoding on the (quantized) serving path: keep the
+    ``beams`` highest-joint-log-prob continuations at every step.
+
+    TPU-native mechanics (all static shapes, one compiled program):
+
+    * the KV cache runs at batch ``B·K`` (beam-major per sample); each step
+      decodes all beams at once, forms (B, K·V) joint scores, takes the
+      top-K, and REINDEXES the cache rows to the surviving parents with one
+      ``jnp.take`` along the batch axis — a gather XLA executes as a copy of
+      the live cache (the classic beam-search cost; fine at serving sizes).
+    * token histories reorder the same way (``take_along_axis`` on a
+      (B, K, n_new) buffer inside the scan).
+    * finished beams (emitted ``eos_id``) are FROZEN with the standard mask
+      trick: their only continuation is a free (log-prob 0) eos repeat, all
+      other tokens get -inf, so their score stays fixed while live beams
+      keep competing.
+
+    Args:
+      beams: beam width K (``beams=1`` degenerates to greedy decode —
+        pinned by test).
+      length_penalty: Google-NMT style normalization
+        ``score / ((5 + len) / 6) ** alpha`` applied at the FINAL ranking
+        only (0.0 = pure joint log-prob).
+      eos_id: optional early-stop token; without it all beams run n_new
+        steps.
+
+    Returns ``search(variables, prompt(B, prompt_len)) -> (tokens (B, n_new),
+    scores (B,))`` for the best beam per sample.  The model's activation
+    observers should be disabled/frozen (decode-parity discipline).
+    """
+    if beams < 1:
+        raise ValueError("beams must be >= 1")
+    if prompt_len + n_new > model.max_len:
+        raise ValueError(
+            f"prompt_len + n_new = {prompt_len + n_new} exceeds model.max_len "
+            f"= {model.max_len}")
+    K = beams
+
+    def search(variables, prompt: jnp.ndarray):
+        if prompt.shape[1] != prompt_len:
+            raise ValueError(
+                f"prompt length {prompt.shape[1]} != compiled {prompt_len}")
+        B = prompt.shape[0]
+        # prefill at B·K directly (beam-major tiling of the prompt): K times
+        # the prefill FLOPs of a B-prefill, but the cache lands already
+        # tiled — no post-hoc per-layer repeat of (B, H, L, hd) buffers
+        tiled = jnp.repeat(prompt, K, axis=0)                  # (B*K, T)
+        last_logits, cache, index = prefill(model, variables, tiled,
+                                            cache_dtype=cache_dtype)
+        logp0 = jax.nn.log_softmax(last_logits.reshape(B, K, -1)[:, 0], -1)
+        V = logp0.shape[-1]
+        # first step: top-K tokens per sample seed the beams.  K > V pads
+        # the surplus beams at -inf — they are displaced by real expansions
+        # at the next step (a K >= V^n beam is then EXHAUSTIVE search)
+        k1 = min(K, V)
+        scores, first = jax.lax.top_k(logp0, k1)               # (B, k1)
+        if k1 < K:
+            scores = jnp.concatenate(
+                [scores, jnp.full((B, K - k1), -jnp.inf)], axis=1)
+            first = jnp.concatenate(
+                [first, jnp.zeros((B, K - k1), first.dtype)], axis=1)
+        first = first.astype(jnp.int32)
+        hist = jnp.zeros((B, K, n_new), jnp.int32)
+        hist = hist.at[:, :, 0].set(first)
+        finished = (jnp.full((B, K), False) if eos_id is None
+                    else first == eos_id)
+
+        def step(carry, i):
+            hist, scores, tok, cache, idx, finished = carry
+            logits, cache = model.apply(variables, tok.reshape(B * K, 1),
+                                        cache=cache, cache_index=idx)
+            logp = jax.nn.log_softmax(logits[:, -1].reshape(B, K, V), -1)
+            if eos_id is not None:
+                # frozen beams: only continuation is a free eos repeat
+                frozen = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
+                logp = jnp.where(finished[:, :, None], frozen[None, None],
+                                 logp)
+            joint = scores[:, :, None] + logp                  # (B, K, V)
+            scores, flat = jax.lax.top_k(joint.reshape(B, K * V), K)
+            parent = flat // V                                 # (B, K)
+            tok = (flat % V).astype(jnp.int32)
+            # reorder histories + cache to the surviving parents
+            hist = jnp.take_along_axis(hist, parent[:, :, None], axis=1)
+            hist = hist.at[:, :, i].set(tok)
+            flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+            cache = jax.tree.map(
+                lambda c: jnp.take(c, flat_parent, axis=0), cache)
+            if eos_id is not None:
+                finished = jnp.take_along_axis(finished, parent, axis=1)
+                finished = finished | (tok == eos_id)
+            return (hist, scores, tok, cache, idx + 1, finished), None
+
+        (hist, scores, _, _, _, _), _ = jax.lax.scan(
+            step, (hist, scores, first, cache, index, finished),
+            jnp.arange(1, n_new))
+        if length_penalty > 0.0 and eos_id is not None:
+            # effective length = position of first eos + 1 (else n_new)
+            is_eos = hist == eos_id
+            has = jnp.any(is_eos, -1)
+            lens = jnp.where(has, jnp.argmax(is_eos, -1) + 1, n_new)
+            norm = ((5.0 + lens.astype(jnp.float32)) / 6.0) ** length_penalty
+            ranked = scores / norm
+        else:
+            ranked = scores
+        best = jnp.argmax(ranked, axis=1)                      # (B,)
+        toks = jnp.take_along_axis(hist, best[:, None, None], 1)[:, 0]
+        return toks, jnp.take_along_axis(scores, best[:, None], 1)[:, 0]
+
+    return jax.jit(search) if jit else search
 
 
 def _filter_logits(logits, temperature: float, top_k: Optional[int]):

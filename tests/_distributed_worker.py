@@ -60,11 +60,40 @@ def main():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
 
+    # ---- TP serving leg ACROSS PROCESSES: convert the trained state and
+    # run the packed serving forward with the 'model' axis spanning both
+    # hosts (column-parallel weights live half on each process) — the
+    # multi-host serving path docs/scaling.md claims.
+    import dataclasses
+
+    from jaxlsq.parallel import make_mesh as _mm
+    from jaxlsq.serve import convert, shard_converted
+
+    tp_mesh = make_mesh(data=1, model=8)
+    variables = {**state.params, **state.model_state}
+    host_vars = jax.tree.map(np.asarray, variables)  # replicated → complete
+    sv = convert(host_vars, qc)
+    sm = QuantMLP(features=(32, 10),
+                  qconfig=qc.for_serving("static", "xla"))
+    x_eval = x_global[:8]
+    # process-local unsharded reference (identical on both processes)
+    want = np.asarray(sm.apply(sv, jnp.asarray(x_eval), training=False))
+
+    sv_tp = shard_converted(sv, tp_mesh)
+    x_tp = jax.device_put(jnp.asarray(x_eval), replicated(tp_mesh))
+    with tp_mesh:
+        out = jax.jit(lambda v, a: sm.apply(v, a, training=False),
+                      out_shardings=replicated(tp_mesh))(sv_tp, x_tp)
+    got = np.asarray(out)  # fully replicated → complete local copy
+    tp_max_err = float(np.max(np.abs(got - want)))
+
     # scale qparams must be identical across processes (replicated state)
     qp = jax.tree.leaves(state.params["qparams"])[0]
     print(json.dumps({"pid": pid, "pcount": pcount,
                       "losses": [round(l, 6) for l in losses],
-                      "qp0": round(float(np.asarray(qp).ravel()[0]), 6)}),
+                      "qp0": round(float(np.asarray(qp).ravel()[0]), 6),
+                      "tp_max_err": tp_max_err,
+                      "tp_out0": round(float(got.ravel()[0]), 6)}),
           flush=True)
 
 

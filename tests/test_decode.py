@@ -918,3 +918,82 @@ class TestChunkedPrefill:
         for (p, n), got in zip(reqs, outs):
             np.testing.assert_array_equal(got, self._lockstep(
                 model, variables, p, n))
+
+
+class TestBeamSearch:
+    """Beam-search decode: beams=1 degenerates to greedy; a wide-enough beam
+    is exhaustively optimal on a tiny vocab; eos freezing pins finished
+    beams."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        model = QuantTransformerLM(vocab=4, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=16)
+        r = np.random.RandomState(90)
+        prompt = jnp.asarray(r.randint(0, 4, (2, 5)))
+        variables = disable_observer(model.init(jax.random.key(13), prompt,
+                                                training=False))
+        return model, variables, prompt
+
+    def test_beam1_equals_greedy(self, qat_setup):
+        from jaxlsq.models.toggles import disable_observer
+        from jaxlsq.serve.decode import make_beam_search
+
+        model, variables, tokens, qc = qat_setup
+        variables = disable_observer(variables)
+        prompt = tokens[:, :6]
+        greedy = np.asarray(make_generate(model, 6, 8)(variables, prompt))
+        toks, scores = make_beam_search(model, 6, 8, beams=1)(variables,
+                                                              prompt)
+        np.testing.assert_array_equal(np.asarray(toks), greedy)
+        assert np.all(np.isfinite(np.asarray(scores)))
+
+    def test_wide_beam_is_exhaustively_optimal(self, tiny):
+        """vocab=4, n_new=3, beams=16: step 1 keeps all 4 prefixes, step 2
+        all 16, step 3 ranks all 64 — the beam IS exhaustive search, so its
+        best sequence must equal the brute-force max-joint-log-prob
+        sequence (teacher-forced scoring of every candidate)."""
+        from jaxlsq.serve.decode import make_beam_search
+
+        model, variables, prompt, = tiny
+        n_new, V = 3, 4
+        toks, scores = make_beam_search(model, 5, n_new, beams=16)(
+            variables, prompt)
+        toks, scores = np.asarray(toks), np.asarray(scores)
+
+        # brute force: all 64 continuations, scored by one full forward
+        cands = np.stack(np.meshgrid(*[np.arange(V)] * n_new,
+                                     indexing="ij"), -1).reshape(-1, n_new)
+        for b in range(prompt.shape[0]):
+            seqs = jnp.asarray(np.concatenate(
+                [np.repeat(np.asarray(prompt[b])[None], len(cands), 0),
+                 cands], axis=1))                        # (64, 5+3)
+            logits = model.apply(variables, seqs, training=False)
+            logp = jax.nn.log_softmax(logits, -1)
+            # token at position t is predicted by logits at t-1
+            tpos = np.arange(5, 5 + n_new)
+            sc = sum(np.asarray(logp[:, t - 1])[np.arange(len(cands)),
+                                                cands[:, t - 5]]
+                     for t in tpos)
+            best = int(np.argmax(sc))
+            np.testing.assert_array_equal(toks[b], cands[best])
+            assert abs(scores[b] - sc[best]) < 1e-4
+
+    def test_eos_freezes_beam(self, tiny):
+        """With eos_id set, a beam that emitted eos only ever repeats eos
+        (score frozen): the winning sequence has nothing but eos after its
+        first eos."""
+        from jaxlsq.serve.decode import make_beam_search
+
+        model, variables, prompt = tiny
+        for eos in range(4):
+            toks, _ = make_beam_search(model, 5, 6, beams=3, eos_id=eos)(
+                variables, prompt)
+            toks = np.asarray(toks)
+            for row in toks:
+                hits = np.nonzero(row == eos)[0]
+                if hits.size:
+                    assert np.all(row[hits[0]:] == eos), (eos, row)

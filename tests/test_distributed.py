@@ -59,3 +59,8 @@ def test_two_process_dp_train_step():
     assert outs[0]["qp0"] == outs[1]["qp0"]
     # and training actually trains
     assert outs[0]["losses"][-1] < outs[0]["losses"][0]
+    # TP serving ACROSS processes (model axis spans both hosts) reproduces
+    # the unsharded packed forward on every process
+    for o in outs:
+        assert o["tp_max_err"] < 1e-5, o
+    assert outs[0]["tp_out0"] == outs[1]["tp_out0"]
