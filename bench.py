@@ -360,6 +360,12 @@ def main():
             # once); its REAL traffic rate vs the canonical 20 B accounting
             "real_gbps": round(
                 (16 if best_impl == "fused" else 20) * n / t_total / 1e9, 1),
+            "accounting": (
+                "value uses the canonical 20 B/elem of the split op pair "
+                "(effective-bandwidth convention); the fused kernel does the "
+                "same work moving 16 B/elem, so value can exceed 1.0 while "
+                "real_gbps stays at/below the chip's achievable stream rate"
+                if best_impl == "fused" else "20 B/elem, physical"),
             "t_fwdbwd_ms": {k: round(v * 1e3, 3) for k, v in times.items()},
             "baseline": "reference 3-launch bwd design (52 B/elem) at 100% roofline",
             "timing": "interleaved chained-loop slope, min-of-rounds",

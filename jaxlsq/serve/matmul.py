@@ -109,8 +109,11 @@ def _wo4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
       the two (bk, bn) subtracts it replaces.  (For the convert() path z≡0
       anyway — weight specs are symmetric.)
 
-    Measured M128/K8192/N8192 v5e: 0.083 ms, 403 GB/s weight-stream — faster
-    than the int8 kernel's 0.101 ms at the same shape (bytes win realized).
+    Measured M128/K8192/N8192 v5e across tenancy windows: 0.078-0.109 ms,
+    330-430 GB/s weight-stream — wall-clock parity-or-faster vs the int8
+    kernel at the same shape (bytes win realized; the chip is time-shared,
+    so single-run numbers swing ~25% — judge by the committed BENCH_r*.json
+    int4-vs-int8 ms pair, not one stream figure).
     """
     k = pl.program_id(2)
 

@@ -997,3 +997,17 @@ class TestBeamSearch:
                 hits = np.nonzero(row == eos)[0]
                 if hits.size:
                     assert np.all(row[hits[0]:] == eos), (eos, row)
+
+    def test_beam_int8_cache(self, tiny):
+        """Beam search over the quantized KV cache: the parent-beam cache
+        reindex (tree-mapped take) must handle (data, scale) tuple leaves."""
+        from jaxlsq.serve.decode import make_beam_search
+
+        model, variables, prompt = tiny
+        toks, scores = make_beam_search(model, 5, 4, beams=3,
+                                        cache_dtype=jnp.int8)(variables,
+                                                              prompt)
+        toks = np.asarray(toks)
+        assert toks.shape == (2, 4)
+        assert np.all((toks >= 0) & (toks < 4))
+        assert np.all(np.isfinite(np.asarray(scores)))
