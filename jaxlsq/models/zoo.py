@@ -7,7 +7,7 @@ all conv/linear layers" — as flax modules built from QuantDense/QuantConv.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -204,12 +204,22 @@ class QuantTransformerBlock(nn.Module):
     dequantized copy ever exists in HBM.  Extends the framework's
     weight-quantization thesis to the decode-time cache stream (the
     reference has no serving runtime to compare — SURVEY.md §5).
+
+    GROUPED-QUERY ATTENTION (``num_kv_heads < num_heads``): k/v are
+    projected to ``num_kv_heads`` heads shared by groups of
+    ``num_heads/num_kv_heads`` query heads — the cache (and its decode-time
+    stream) shrinks by the same ratio, composing with the int8 cache.  The
+    dots run GROUPED (5-D einsums with q reshaped (B, KVH, G, t, hd)) so no
+    repeated k/v copy is materialized.  ``num_kv_heads=None`` (default) is
+    exact MHA — same parameters, same numerics as before (the q|k|v column
+    split of the fused projection is layout-identical).
     """
 
     dim: int
     num_heads: int
     qconfig: QConfig
     mlp_ratio: int = 4
+    num_kv_heads: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, training: bool = False,
@@ -217,18 +227,40 @@ class QuantTransformerBlock(nn.Module):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
+        kvh = self.num_kv_heads or h
+        if h % kvh:
+            raise ValueError(f"num_heads {h} not divisible by num_kv_heads "
+                             f"{kvh}")
+        g = h // kvh
 
         y = nn.LayerNorm(name="ln1")(x)
-        qkv = QuantDense(3 * d, self.qconfig, name="qkv")(y, training=training)
-        q, k, v = jnp.split(qkv.reshape(b, t, 3, h, hd), 3, axis=2)
-        q, k, v = (a.squeeze(2).transpose(0, 2, 1, 3) for a in (q, k, v))
+        # fused projection: columns [q | k | v].  For kvh == h this is the
+        # historical 3d-wide "qkv" dense with an identical column layout
+        # (reshape(b, t, 3, h, hd) splits the SAME contiguous thirds).
+        qkv = QuantDense(d + 2 * kvh * hd, self.qconfig,
+                         name="qkv")(y, training=training)
+        q = qkv[..., :d].reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = qkv[..., d:d + kvh * hd].reshape(b, t, kvh, hd).transpose(
+            0, 2, 1, 3)
+        v = qkv[..., d + kvh * hd:].reshape(b, t, kvh, hd).transpose(
+            0, 2, 1, 3)
         new_kv = None
         if kv_cache is None:
-            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
             mask = jnp.tril(jnp.ones((t, t), bool))
-            att = jnp.where(mask, att, -1e9)
-            att = jax.nn.softmax(att, axis=-1)
-            y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+            if g == 1:
+                att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                    float(hd))
+                att = jnp.where(mask, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+            else:
+                q5 = q.reshape(b, kvh, g, t, hd)
+                att = jnp.einsum("bkgqd,bkld->bkgql", q5, k) / jnp.sqrt(
+                    float(hd))
+                att = jnp.where(mask[None, None, None], att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum("bkgql,bkld->bkgqd", att, v).reshape(
+                    b, h, t, hd)
         else:
             ck, cv = kv_cache
             quantized = isinstance(ck, (tuple, list))
@@ -253,6 +285,9 @@ class QuantTransformerBlock(nn.Module):
             else:
                 qpos = (idx[:, None] + jnp.arange(t))[:, None, :, None]
             kpos = jnp.arange(L)[None, None, None, :]
+            if g > 1:  # grouped dots carry an extra group dim before t
+                qpos = qpos[:, :, None]
+                kpos = kpos[:, :, None]
 
             if quantized:
                 def q8(a):  # per-(b, h, position) symmetric int8
@@ -269,25 +304,50 @@ class QuantTransformerBlock(nn.Module):
                 cvs = write(cv[1], vs, idx)
                 # dequant folds into the dots: per-KEY-position scales hit
                 # the score matrix after QK, and the value scales hit the
-                # softmax weights before AV
-                att = (jnp.einsum("bhqd,bhkd->bhqk", q,
-                                  ckd.astype(q.dtype))
-                       * cks.astype(q.dtype)[:, :, None, :]
-                       / jnp.sqrt(float(hd)))
-                att = jnp.where(kpos <= qpos, att, -1e9)
-                att = jax.nn.softmax(att, axis=-1)
-                y = jnp.einsum("bhqk,bhkd->bhqd",
-                               att * cvs.astype(q.dtype)[:, :, None, :],
-                               cvd.astype(q.dtype))
+                # softmax weights BEFORE AV
+                if g == 1:
+                    att = (jnp.einsum("bhqd,bhkd->bhqk", q,
+                                      ckd.astype(q.dtype))
+                           * cks.astype(q.dtype)[:, :, None, :]
+                           / jnp.sqrt(float(hd)))
+                    att = jnp.where(kpos <= qpos, att, -1e9)
+                    att = jax.nn.softmax(att, axis=-1)
+                    y = jnp.einsum("bhqk,bhkd->bhqd",
+                                   att * cvs.astype(q.dtype)[:, :, None, :],
+                                   cvd.astype(q.dtype))
+                else:
+                    q5 = q.reshape(b, kvh, g, t, hd)
+                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5,
+                                      ckd.astype(q.dtype))
+                           * cks.astype(q.dtype)[:, :, None, None, :]
+                           / jnp.sqrt(float(hd)))
+                    att = jnp.where(kpos <= qpos, att, -1e9)
+                    att = jax.nn.softmax(att, axis=-1)
+                    y = jnp.einsum(
+                        "bkgql,bkld->bkgqd",
+                        att * cvs.astype(q.dtype)[:, :, None, None, :],
+                        cvd.astype(q.dtype)).reshape(b, h, t, hd)
                 new_kv = ((ckd, cks), (cvd, cvs))
             else:
                 ck = write(ck, k, idx)
                 cv = write(cv, v, idx)
-                att = (jnp.einsum("bhqd,bhkd->bhqk", q, ck.astype(q.dtype))
-                       / jnp.sqrt(float(hd)))
-                att = jnp.where(kpos <= qpos, att, -1e9)
-                att = jax.nn.softmax(att, axis=-1)
-                y = jnp.einsum("bhqk,bhkd->bhqd", att, cv.astype(q.dtype))
+                if g == 1:
+                    att = (jnp.einsum("bhqd,bhkd->bhqk", q,
+                                      ck.astype(q.dtype))
+                           / jnp.sqrt(float(hd)))
+                    att = jnp.where(kpos <= qpos, att, -1e9)
+                    att = jax.nn.softmax(att, axis=-1)
+                    y = jnp.einsum("bhqk,bhkd->bhqd", att,
+                                   cv.astype(q.dtype))
+                else:
+                    q5 = q.reshape(b, kvh, g, t, hd)
+                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5,
+                                      ck.astype(q.dtype))
+                           / jnp.sqrt(float(hd)))
+                    att = jnp.where(kpos <= qpos, att, -1e9)
+                    att = jax.nn.softmax(att, axis=-1)
+                    y = jnp.einsum("bkgql,bkld->bkgqd", att,
+                                   cv.astype(q.dtype)).reshape(b, h, t, hd)
                 new_kv = (ck, cv)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
@@ -318,6 +378,7 @@ class QuantTransformerLM(nn.Module):
     num_heads: int
     qconfig: QConfig
     max_len: int = 256
+    num_kv_heads: Optional[int] = None  # < num_heads ⇒ grouped-query attn
 
     @nn.compact
     def __call__(self, tokens, *, training: bool = False,
@@ -339,7 +400,9 @@ class QuantTransformerLM(nn.Module):
         new_cache = []
         for i in range(self.depth):
             block = QuantTransformerBlock(self.dim, self.num_heads,
-                                          self.qconfig, name=f"block{i}")
+                                          self.qconfig,
+                                          num_kv_heads=self.num_kv_heads,
+                                          name=f"block{i}")
             if cache is None:
                 x = block(x, training=training)
             else:

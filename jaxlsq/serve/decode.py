@@ -77,7 +77,10 @@ def init_kv_cache(model, batch_size: int, *, dtype=jnp.float32,
     speculative) accept either layout."""
     L = model.max_len if max_len is None else max_len
     hd = model.dim // model.num_heads
-    shape = (batch_size, model.num_heads, L, hd)
+    # grouped-query attention: the cache holds num_kv_heads heads (the whole
+    # point — the decode-time cache stream shrinks by heads/kv_heads)
+    kvh = getattr(model, "num_kv_heads", None) or model.num_heads
+    shape = (batch_size, kvh, L, hd)
     if np.dtype(dtype) == np.int8:
         def entry():
             return (jnp.zeros(shape, jnp.int8),

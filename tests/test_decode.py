@@ -1011,3 +1011,84 @@ class TestBeamSearch:
         assert toks.shape == (2, 4)
         assert np.all((toks >= 0) & (toks < 4))
         assert np.all(np.isfinite(np.asarray(scores)))
+
+
+class TestGQA:
+    """Grouped-query attention: k/v at num_kv_heads < num_heads shrink the
+    KV cache (and its decode stream) by the head ratio; decode must equal
+    the full forward, and every decode path must accept the smaller cache."""
+
+    @pytest.fixture(scope="class")
+    def gqa(self):
+        from jaxlsq.models.toggles import disable_observer
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        model = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=2,
+                                   num_heads=4, num_kv_heads=2,
+                                   qconfig=qc, max_len=MAXLEN)
+        r = np.random.RandomState(95)
+        tokens = jnp.asarray(r.randint(0, VOCAB, size=(2, 12)))
+        variables = disable_observer(model.init(jax.random.key(21), tokens,
+                                                training=False))
+        return model, variables, tokens
+
+    def test_cache_shape_shrinks(self, gqa):
+        model, variables, tokens = gqa
+        cache = init_kv_cache(model, 2)
+        assert cache[0][0].shape == (2, 2, MAXLEN, DIM // 4)  # kvh=2 heads
+
+    def test_decode_matches_full_forward(self, gqa):
+        model, variables, tokens = gqa
+        full = model.apply(variables, tokens, training=False)
+        dec, _ = _decode_logits(model, variables, tokens, t0=4)
+        np.testing.assert_allclose(np.asarray(dec), np.asarray(full[:, 4:]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_generate_and_engine(self, gqa):
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens = gqa
+        out = np.asarray(make_generate(model, 6, 6)(variables,
+                                                    tokens[:, :6]))
+        assert out.shape == (2, 6)
+        # engine (vector cache_index on the kvh-head cache) vs lockstep
+        p = np.asarray(tokens[0, :6])
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(8,), prefill_chunk=3) as eng:
+            got = eng.submit(p, 6).result(timeout=600)
+        last, cache, idx = prefill(model, variables, jnp.asarray(p)[None])
+        tok = jnp.argmax(last, -1).astype(jnp.int32)
+        want = [int(tok[0])]
+        for _ in range(5):
+            logits, cache = model.apply(variables, tok[:, None], cache=cache,
+                                        cache_index=idx)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            want.append(int(tok[0]))
+            idx = idx + 1
+        np.testing.assert_array_equal(got, np.asarray(want, np.int32))
+
+    def test_int8_cache_gqa(self, gqa):
+        """Quantized cache composes with GQA (per-row scales on the
+        kvh-head arrays)."""
+        model, variables, tokens = gqa
+        full = model.apply(variables, tokens, training=False)
+        last, cache, idx = prefill(model, variables, tokens[:, :4],
+                                   cache_dtype=jnp.int8)
+        assert cache[0][0][0].shape == (2, 2, MAXLEN, DIM // 4)
+        step = jax.jit(lambda v, t, c, i: model.apply(
+            v, t, cache=c, cache_index=i))
+        for t in range(4, 8):
+            logits, cache = step(variables, tokens[:, t:t + 1], cache, idx)
+            w = np.asarray(full[:, t])
+            gdiff = np.abs(np.asarray(logits[:, 0]) - w).max()
+            # dim-32 toy model: int8 cache error measures ~4-6% of logit
+            # magnitude (fewer kv heads ⇒ each head carries more signal)
+            assert gdiff < 0.08 * max(1.0, float(np.abs(w).max())), t
+            idx = idx + 1
+
+    def test_mha_unchanged_param_layout(self, qat_setup):
+        """num_kv_heads=None keeps the historical fused-qkv parameter shape
+        (3d columns) — checkpoints stay loadable."""
+        model, variables, tokens, qc = qat_setup
+        kern = variables["params"]["block0"]["qkv"]["kernel"]
+        assert kern.shape == (DIM, 3 * DIM)
