@@ -1,5 +1,6 @@
 from .calibrate import calibrate, enable_param_learning_all, set_static_estimate
 from .layers import FakeQuantize, QuantConv, QuantDense, QuantEmbed
+from .moe import QuantMoE, load_balance_loss
 from .qconfig import QConfig, default_qconfig
 from .toggles import (
     disable_fake_quant,
@@ -18,6 +19,7 @@ from .zoo import (BasicBlock, QuantCNN, QuantMLP, QuantMobileNetV2,
 
 __all__ = [
     "FakeQuantize", "QuantConv", "QuantDense", "QuantEmbed",
+    "QuantMoE", "load_balance_loss",
     "QConfig", "default_qconfig",
     "calibrate", "set_static_estimate", "enable_param_learning_all",
     "enable_fake_quant", "disable_fake_quant",

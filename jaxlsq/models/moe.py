@@ -1,0 +1,199 @@
+"""Quantized Mixture-of-Experts: top-k routed expert MLPs, LSQ-quantized,
+laid out for EXPERT PARALLELISM over a mesh axis.
+
+The reference has no MoE (it is a quantization library); this extends its
+LSQ fake-quant scheme (lsq_kernel.h:6-14, observers.py:424-462) to the
+routed-expert architecture the north-star serving/training story needs at
+scale.  TPU-first design choices:
+
+* **Static shapes everywhere** (XLA requirement): GShard/Switch-style fixed
+  per-expert capacity ``C = ceil(top_k * tokens * capacity_factor / E)``.
+  Tokens over capacity are dropped — their expert contribution is zero and
+  they ride the surrounding residual connection (standard Switch behavior).
+* **Stacked expert weights** ``(E, d_in, d_out)`` as ONE parameter, so an
+  'expert' mesh axis shards axis 0 and the dispatch/combine einsums become
+  the all-to-alls XLA inserts under jit (scaling-book recipe: annotate
+  shardings, let XLA place collectives on ICI).  ``jaxlsq.parallel.moe``
+  builds the sharding pytree.
+* **Einsum dispatch** (``nec,nd->ecd``) rather than sort/gather: every op is
+  an MXU matmul, no dynamic shapes, no scatter.  The O(N·E·C) combine tensor
+  is the classic GShard trade — fine for the few-thousand-token microbatches
+  QAT uses; a sort-based dispatch would only pay at much larger N.
+
+Quantization granularity: expert kernels are fake-quantized with PER-EXPERT
+scales (per-channel axis 0 over the stacked expert dim) when the QConfig asks
+for per-channel weights — each expert trains its own step size, the MoE
+analogue of per-output-channel granularity.  The router stays float (standard
+practice: routing logits are tiny and precision-sensitive).
+
+Serving: ``jaxlsq.serve.convert`` packs the stacked kernels to int8 with
+per-expert scales; serve mode here runs a weight-only dequant-fused einsum
+(scale factors out of the contraction exactly, so the fold is lossless —
+same identity the 2-D wo_matmul uses, serve/matmul.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import FakeQuantize, _dummy_packed, _static_act_quant
+from .qconfig import QConfig
+
+__all__ = ["QuantMoE", "load_balance_loss"]
+
+
+def load_balance_loss(gates: jnp.ndarray, top1: jnp.ndarray) -> jnp.ndarray:
+    """Switch-Transformer auxiliary load-balance loss: ``E * Σ_e f_e · P_e``
+    where ``f_e`` is the fraction of tokens whose TOP-1 choice is expert e and
+    ``P_e`` the mean router probability for e.  Balanced routing ⇒ 1.0."""
+    E = gates.shape[-1]
+    f = jnp.mean(jax.nn.one_hot(top1, E, dtype=gates.dtype), axis=0)
+    P = jnp.mean(gates, axis=0)
+    return E * jnp.sum(f * P)
+
+
+class _ExpertDense(nn.Module):
+    """Stacked per-expert dense: x (E, C, K) → (E, C, N) with kernel
+    (E, K, N).  QAT fake-quant mirrors QuantDense (models/layers.py) but the
+    weight per-channel axis is 0 = the EXPERT axis (per-expert scales); the
+    serving path is the weight-only dequant-fused einsum."""
+
+    features: int
+    qconfig: QConfig
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        E, C, K = x.shape
+        kshape = (E, K, self.features)
+        if self.qconfig.mode == "serve":
+            y = self._serve(x, kshape)
+        else:
+            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            if acfg is not None:
+                x = FakeQuantize(acfg, name="act_fq")(x, training=training)
+            kernel = self.param("kernel", nn.initializers.lecun_normal(
+                batch_axis=(0,)), kshape)
+            wcfg = self.qconfig.weight_for_axis(0)  # per-EXPERT scales
+            if wcfg is not None:
+                kernel = FakeQuantize(wcfg, name="weight_fq")(
+                    kernel, training=training)
+            y = jnp.einsum("eck,ekn->ecn", x, kernel,
+                           preferred_element_type=jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return (y + bias).astype(x.dtype)
+
+    def _serve(self, x, kshape):
+        wspec = self.qconfig.required_weight_for_axis(0).spec
+        packed = self.variable(
+            "quantized", "kernel",
+            lambda: _dummy_packed(kshape, wspec, 0, bits=8)).value
+        if self.qconfig.activation is not None:
+            c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+            ascale = self.variable("quantized", "act_scale",
+                                   lambda: jnp.ones((c,), jnp.float32)).value
+            azp = self.variable("quantized", "act_zp",
+                                lambda: jnp.zeros((c,), jnp.int32)).value
+            if self.qconfig.act_mode in ("dynamic", "static_int8"):
+                raise ValueError(
+                    "QuantMoE serving supports act_mode 'none' or 'static'; "
+                    f"got {self.qconfig.act_mode!r} (the int8×int8 batched "
+                    "expert matmul is not wired yet — serve weight-only)")
+            if self.qconfig.act_mode == "static":
+                x = _static_act_quant(x, ascale, azp,
+                                      self.qconfig.activation.spec)
+        # Weight-only fused dequant: (q - zp)·s with s per-expert (or
+        # per-tensor) factors OUT of the d-contraction —
+        #   y[e,c,n] = s_e · (Σ_k x·q  −  zp_e · Σ_k x)
+        # exactly (pack.dequantize_weight is the oracle; test_moe.py pins it).
+        prec = self.qconfig.serve_precision
+        cd = jnp.float32 if prec == "highest" else jnp.bfloat16
+        s = packed.scale.reshape(-1, 1, 1)        # (E|1, 1, 1)
+        zp = packed.zero_point.reshape(-1, 1, 1).astype(jnp.float32)
+        y = jnp.einsum("eck,ekn->ecn", x.astype(cd),
+                       packed.data.astype(cd),
+                       preferred_element_type=jnp.float32)
+        corr = zp * jnp.sum(x, axis=-1, dtype=jnp.float32)[..., None]
+        return (y - corr) * s
+
+
+class QuantMoE(nn.Module):
+    """Top-k routed MoE MLP layer: x (..., d) → (..., d).
+
+    Every expert is a 2-layer gelu MLP (`hidden` wide) whose matmuls carry
+    the same LSQ weight/activation fake-quantizers as QuantDense.  Routing is
+    float softmax top-k with fixed capacity; dropped tokens contribute zero
+    (callers wrap in a residual).  The Switch aux load-balance loss is
+    written to the ``losses`` variable collection (weighted by
+    ``aux_loss_weight``) — ``parallel.make_train_step`` folds it into the
+    objective automatically.
+
+    Expert parallelism: see ``jaxlsq.parallel.moe.moe_state_sharding`` — the
+    stacked (E, …) params/qparams shard over a mesh 'expert' axis and the
+    dispatch/combine einsums lower to all-to-alls.
+    """
+
+    hidden: int
+    num_experts: int
+    qconfig: QConfig
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    aux_loss_weight: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        if not 1 <= self.top_k <= self.num_experts:
+            raise ValueError(
+                f"top_k={self.top_k} must be in [1, {self.num_experts}]")
+        *lead, d = x.shape
+        N = math.prod(lead)
+        E, K = self.num_experts, self.top_k
+        C = max(1, math.ceil(K * N * self.capacity_factor / E))
+        C = min(C, N)  # an expert can never receive more than every token
+        xt = x.reshape(N, d)
+
+        # --- routing (float; router precision is load-bearing) ---
+        logits = nn.Dense(E, use_bias=False, name="router")(
+            xt.astype(jnp.float32))
+        gates = jax.nn.softmax(logits, axis=-1)           # (N, E)
+        gate_k, idx_k = jax.lax.top_k(gates, K)           # (N, K)
+        # renormalize the kept gates so the combine is a convex mixture
+        gate_k = gate_k / jnp.maximum(jnp.sum(gate_k, -1, keepdims=True),
+                                      jnp.finfo(gates.dtype).tiny)
+
+        # --- capacity assignment, choice-major (all 1st choices queue
+        # before any 2nd choice, GShard order) ---
+        oh = jax.nn.one_hot(idx_k, E, dtype=jnp.int32)    # (N, K, E)
+        ohm = oh.transpose(1, 0, 2).reshape(K * N, E)
+        pos = (jnp.cumsum(ohm, axis=0) - 1).reshape(K, N, E).transpose(1, 0, 2)
+        pos = jnp.sum(pos * oh, axis=-1)                  # (N, K) queue slot
+        keep = pos < C
+
+        # --- dispatch/combine tensors ---
+        combine = (gate_k * keep) [..., None, None] * oh[..., None] \
+            * jax.nn.one_hot(pos, C, dtype=gates.dtype)[:, :, None, :]
+        combine = jnp.sum(combine, axis=1)                # (N, E, C)
+        dispatch = (combine > 0).astype(x.dtype)
+
+        # --- expert compute (batched matmuls; EP shards axis 0) ---
+        xe = jnp.einsum("nec,nd->ecd", dispatch, xt)      # (E, C, d)
+        h = _ExpertDense(self.hidden, self.qconfig,
+                         name="experts_up")(xe, training=training)
+        h = nn.gelu(h)
+        ye = _ExpertDense(d, self.qconfig,
+                          name="experts_down")(h, training=training)
+        y = jnp.einsum("nec,ecd->nd", combine.astype(x.dtype),
+                       ye.astype(x.dtype))
+
+        if self.qconfig.mode != "serve":
+            aux = self.variable("losses", "aux",
+                                lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("losses"):
+                aux.value = self.aux_loss_weight * load_balance_loss(
+                    gates, idx_k[:, 0])
+        return y.reshape(*lead, d)

@@ -182,6 +182,26 @@ def mobilenetv2_cifar(num_classes: int, qconfig: QConfig) -> QuantMobileNetV2:
     return QuantMobileNetV2(num_classes=num_classes, qconfig=qconfig)
 
 
+def _rope(x, pos, base: float = 10000.0):
+    """Rotary position embedding over the head dim (half-split layout).
+
+    x: (B, H, t, hd); pos: (t,) shared positions or (B, t) per-slot
+    positions (continuous batching).  k is stored ROTATED in the KV cache —
+    each key rotated by its own absolute write position — so the QK dot
+    yields relative-position attention with no extra decode-time work."""
+    hd = x.shape[-1]
+    half = hd // 2
+    inv = 1.0 / (base ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = pos.astype(jnp.float32)[..., None] * inv     # (t, half)|(B, t, half)
+    if ang.ndim == 2:
+        ang = ang[None]                                 # (1, t, half)
+    cos = jnp.cos(ang)[:, None]                         # (B|1, 1, t, half)
+    sin = jnp.sin(ang)[:, None]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x1 * sin + x2 * cos], -1).astype(x.dtype)
+
+
 class QuantTransformerBlock(nn.Module):
     """Pre-LN transformer block with every matmul LSQ-quantized (QKV/out
     projections + MLP).  The block whose dense layers the INT8/INT4 serving
@@ -220,6 +240,12 @@ class QuantTransformerBlock(nn.Module):
     qconfig: QConfig
     mlp_ratio: int = 4
     num_kv_heads: Optional[int] = None
+    rope: bool = False  # rotary position embeddings on q/k
+    # MoE MLP (models/moe.py): replaces the dense 2-layer MLP with top-k
+    # routed quantized experts; the block's residual absorbs capacity drops
+    moe_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, *, training: bool = False,
@@ -244,6 +270,15 @@ class QuantTransformerBlock(nn.Module):
             0, 2, 1, 3)
         v = qkv[..., d + kvh * hd:].reshape(b, t, kvh, hd).transpose(
             0, 2, 1, 3)
+        if self.rope:
+            if kv_cache is None:
+                rpos = jnp.arange(t)
+            else:
+                ridx = jnp.asarray(cache_index, jnp.int32)
+                rpos = (ridx + jnp.arange(t) if ridx.ndim == 0
+                        else ridx[:, None] + jnp.arange(t))
+            q = _rope(q, rpos)
+            k = _rope(k, rpos)
         new_kv = None
         if kv_cache is None:
             mask = jnp.tril(jnp.ones((t, t), bool))
@@ -353,10 +388,19 @@ class QuantTransformerBlock(nn.Module):
         x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
 
         y = nn.LayerNorm(name="ln2")(x)
-        y = QuantDense(self.mlp_ratio * d, self.qconfig,
-                       name="mlp_up")(y, training=training)
-        y = nn.gelu(y)
-        y = QuantDense(d, self.qconfig, name="mlp_down")(y, training=training)
+        if self.moe_experts:
+            from .moe import QuantMoE
+            y = QuantMoE(hidden=self.mlp_ratio * d,
+                         num_experts=self.moe_experts,
+                         qconfig=self.qconfig, top_k=self.moe_top_k,
+                         capacity_factor=self.moe_capacity_factor,
+                         name="moe")(y, training=training)
+        else:
+            y = QuantDense(self.mlp_ratio * d, self.qconfig,
+                           name="mlp_up")(y, training=training)
+            y = nn.gelu(y)
+            y = QuantDense(d, self.qconfig, name="mlp_down")(y,
+                                                             training=training)
         out = x + y
         if kv_cache is None:
             return out
@@ -379,30 +423,44 @@ class QuantTransformerLM(nn.Module):
     qconfig: QConfig
     max_len: int = 256
     num_kv_heads: Optional[int] = None  # < num_heads ⇒ grouped-query attn
+    pos_embedding: str = "learned"      # 'learned' | 'rope'
+    moe_experts: Optional[int] = None   # set ⇒ MoE MLPs (models/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, tokens, *, training: bool = False,
                  cache=None, cache_index=None):
         b, t = tokens.shape
+        if self.pos_embedding not in ("learned", "rope"):
+            raise ValueError(f"pos_embedding must be 'learned' or 'rope', "
+                             f"got {self.pos_embedding!r}")
+        rope = self.pos_embedding == "rope"
         tok = QuantEmbed(self.vocab, self.dim, self.qconfig,
                          name="tok_emb")(tokens, training=training)
-        pos = self.param("pos_emb", nn.initializers.normal(0.02),
-                         (self.max_len, self.dim))
-        if cache is None:
-            x = tok + pos[None, :t]
+        if rope:
+            x = tok  # positions enter via in-block rotary q/k rotation
         else:
-            idx = jnp.asarray(cache_index, jnp.int32)
-            if idx.ndim == 0:
-                x = tok + jax.lax.dynamic_slice_in_dim(pos, idx, t, 0)[None]
-            else:  # per-slot positions (B,) → gather a (B, t, dim) pos slice
-                positions = idx[:, None] + jnp.arange(t)[None, :]
-                x = tok + jnp.take(pos, positions, axis=0)
+            pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                             (self.max_len, self.dim))
+            if cache is None:
+                x = tok + pos[None, :t]
+            else:
+                idx = jnp.asarray(cache_index, jnp.int32)
+                if idx.ndim == 0:
+                    x = tok + jax.lax.dynamic_slice_in_dim(pos, idx, t,
+                                                           0)[None]
+                else:  # per-slot (B,) → gather a (B, t, dim) pos slice
+                    positions = idx[:, None] + jnp.arange(t)[None, :]
+                    x = tok + jnp.take(pos, positions, axis=0)
         new_cache = []
         for i in range(self.depth):
-            block = QuantTransformerBlock(self.dim, self.num_heads,
-                                          self.qconfig,
-                                          num_kv_heads=self.num_kv_heads,
-                                          name=f"block{i}")
+            block = QuantTransformerBlock(
+                self.dim, self.num_heads, self.qconfig,
+                num_kv_heads=self.num_kv_heads, rope=rope,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                name=f"block{i}")
             if cache is None:
                 x = block(x, training=training)
             else:

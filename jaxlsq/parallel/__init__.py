@@ -5,6 +5,15 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .moe import EXPERT_SCOPES, moe_sharding
+from .pipeline import (
+    create_pipeline_state,
+    make_pipeline_train_step,
+    pipeline_mesh,
+    pipeline_sharding,
+    stack_pipeline_variables,
+    unstack_pipeline_variables,
+)
 from .train import (
     QATTrainState,
     create_train_state,
@@ -16,6 +25,10 @@ from .train import (
 __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "initialize_distributed",
+    "moe_sharding", "EXPERT_SCOPES",
+    "pipeline_mesh", "create_pipeline_state", "make_pipeline_train_step",
+    "pipeline_sharding", "stack_pipeline_variables",
+    "unstack_pipeline_variables",
     "QATTrainState", "create_train_state", "cross_entropy_loss",
     "make_train_step", "make_eval_step",
 ]

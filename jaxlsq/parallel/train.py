@@ -62,7 +62,7 @@ def create_train_state(model, tx: optax.GradientTransformation, sample_x,
     )
 
 
-_MUTABLE = ("quant_state", "qparams", "batch_stats")
+_MUTABLE = ("quant_state", "qparams", "batch_stats", "losses")
 
 
 def make_train_step(
@@ -73,6 +73,7 @@ def make_train_step(
     donate: bool = True,
     jit: bool = True,
     accum_steps: int = 1,
+    state_sharding=None,
 ):
     """Build a jitted QAT train step: (state, batch) → (state, metrics).
 
@@ -102,6 +103,13 @@ def make_train_step(
                 {**p, **model_state}, x, training=True,
                 mutable=list(k for k in _MUTABLE if k != "qparams") + ["qparams"])
             loss = loss_fn(out, batch)
+            # auxiliary losses written by layers (e.g. QuantMoE's weighted
+            # load-balance term in the 'losses' collection) join the
+            # objective — they carry their own weights
+            if "losses" in mut:
+                loss = loss + jax.tree.reduce(
+                    jnp.add, jax.tree.map(jnp.sum, mut["losses"]),
+                    jnp.zeros((), jnp.float32))
             return loss, (out, mut)
 
         (loss, (out, mut)), grads = jax.value_and_grad(
@@ -165,12 +173,15 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
-    state_sh = replicated(mesh)
+    # state_sharding: a pytree of NamedShardings matching QATTrainState —
+    # e.g. parallel.moe.moe_sharding for expert-parallel stacked weights;
+    # default replicates everything (pure DP)
+    state_sh = replicated(mesh) if state_sharding is None else state_sharding
     batch_sh = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
         in_shardings=(state_sh, batch_sh),
-        out_shardings=(state_sh, state_sh),
+        out_shardings=(state_sh, replicated(mesh)),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -56,8 +56,11 @@ def _act_qparams(qp: Dict[str, jnp.ndarray], spec: QuantSpec
 
 
 def _weight_axis_for(kernel: jnp.ndarray) -> int:
-    """Output-channel axis by kernel layout: dense (K, N) → 1;
-    conv (kh, kw, in, out) → ndim-1 (models/layers.py conventions)."""
+    """Per-channel axis by kernel layout: dense (K, N) → 1;
+    conv (kh, kw, in, out) → ndim-1; stacked MoE experts (E, K, N) → 0,
+    the EXPERT axis — per-expert scales (models/layers.py, models/moe.py)."""
+    if kernel.ndim == 3:
+        return 0
     return kernel.ndim - 1
 
 
@@ -93,7 +96,10 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
             wspec = qconfig.weight.spec.replace(axis=axis) \
                 if qconfig.weight.spec.per_channel else qconfig.weight.spec
             wqp = q_tree["weight_fq"]["qp"]
-            bits = 8 if wname == "embedding" else serving_bits(wspec)
+            # embedding: int4 nibble packing would break the row gather;
+            # 3-D MoE stacks: the weight-only expert einsum consumes int8
+            bits = (8 if wname == "embedding" or kernel.ndim == 3
+                    else serving_bits(wspec))
             packed = quantize_weight(
                 kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
             quantized: Dict[str, Any] = {wname: packed}
