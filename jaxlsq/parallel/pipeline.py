@@ -179,6 +179,7 @@ def make_pipeline_train_step(
     num_microbatches: int,
     loss_fn: Callable = _lm_loss,
     donate: bool = True,
+    remat: bool = False,
 ):
     """Build the pipelined QAT train step: (stacked state, batch) → (state,
     metrics).  ``batch`` = {'input': (B, t) tokens, 'label': (B, t)}; B must
@@ -189,6 +190,11 @@ def make_pipeline_train_step(
     optional pos_emb / block{i} / ln_f / lm_head scopes); MoE blocks are not
     pipelined yet (combine expert and pipeline axes deliberately, not by
     accident).
+
+    ``remat=True`` wraps each block application in ``jax.checkpoint``: the
+    backward pipeline recomputes block activations instead of stashing every
+    tick's residuals — the standard HBM-for-FLOPs trade for deep stages.
+    Numerically identical (pinned by test_pipeline.py).
     """
     from ..models.layers import QuantDense, QuantEmbed
     from ..models.zoo import QuantTransformerBlock
@@ -242,14 +248,20 @@ def make_pipeline_train_step(
             emb_v = _sub(p, qp, qs, "tok_emb")
             head_v = _sub(p, qp, qs, "lm_head")
 
+            def apply_block(p_j, qp_j, qs_j, xc):
+                out, mut = blk.apply(
+                    {"params": p_j, "qparams": qp_j, "quant_state": qs_j},
+                    xc, training=True, mutable=MUT)
+                return out, (mut["qparams"], mut["quant_state"])
+
+            if remat:
+                apply_block = jax.checkpoint(apply_block)
+
             def run_stage(bqp, bqs, x):
                 def body(xc, slab):
                     p_j, qp_j, qs_j = slab
-                    out, mut = blk.apply(
-                        {"params": p_j, "qparams": qp_j,
-                         "quant_state": qs_j},
-                        xc, training=True, mutable=MUT)
-                    return out, (mut["qparams"], mut["quant_state"])
+                    out, (nqp, nqs) = apply_block(p_j, qp_j, qs_j, xc)
+                    return out, (nqp, nqs)
 
                 x, (nqp, nqs) = jax.lax.scan(body, x, (bp, bqp, bqs))
                 return x, nqp, nqs

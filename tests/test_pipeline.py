@@ -233,3 +233,27 @@ def test_pipeline_state_feeds_plain_model_and_serving():
     got = sm.apply(sv, toks, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(out),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_remat_is_numerically_identical():
+    """remat=True (jax.checkpoint around each block) recomputes instead of
+    stashing — same loss, same updated params, bit-for-bit-tolerant."""
+    model = _model(qc=default_qconfig(8, 8, init_batches=0))
+    tx = optax.sgd(1e-2)
+    mesh = pipeline_mesh(stage=4, data=1)
+    toks = _tokens(8, seed=77)
+    batch = {"input": toks, "label": toks}
+
+    def run(remat):
+        s = create_pipeline_state(model, tx, mesh, _tokens(2))
+        step = make_pipeline_train_step(model, tx, mesh, num_microbatches=2,
+                                        donate=False, remat=remat)
+        s, m = step(s, batch)
+        return s, float(m["loss"])
+
+    s0, l0 = run(False)
+    s1, l1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=1e-7)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
