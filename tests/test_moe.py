@@ -463,3 +463,34 @@ class TestMoELM:
         np.testing.assert_allclose(np.asarray(dec),
                                    np.asarray(full[:, 4:]),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_engine_serves_moe_lm(self, moe_lm):
+        """Token-level continuous batching over the converted MoE LM: the
+        staggered engine output == lockstep greedy decode on the same serve
+        model (per-slot routing stays independent because capacity never
+        drops at these sizes)."""
+        from jaxlsq.serve.decode import DecodeEngine, prefill
+
+        model, variables, tokens = moe_lm
+        qc = model.qconfig
+        sv = convert(variables, qc)
+        sm = dataclasses.replace(
+            model, qconfig=qc.for_serving("static", impl="xla"))
+        r = rng(60)
+        reqs = [(r.randint(0, self.VOCAB, size=r.randint(2, 6)),
+                 int(r.randint(2, 5))) for _ in range(3)]
+        with DecodeEngine(sm, sv, max_batch=2, prompt_buckets=(4, 8),
+                          prefill_chunk=2) as eng:
+            futs = [eng.submit(p, n) for p, n in reqs]
+            outs = [f.result(timeout=600) for f in futs]
+        for (p, n), got in zip(reqs, outs):
+            last, cache, idx = prefill(sm, sv, jnp.asarray(p)[None])
+            tok = jnp.argmax(last, -1).astype(jnp.int32)
+            want = [int(tok[0])]
+            for _ in range(n - 1):
+                logits, cache = sm.apply(sv, tok[:, None], cache=cache,
+                                         cache_index=idx)
+                tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                want.append(int(tok[0]))
+                idx = idx + 1
+            np.testing.assert_array_equal(got, np.asarray(want, np.int32))

@@ -257,3 +257,32 @@ def test_remat_is_numerically_identical():
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_pipeline_state_checkpoint_roundtrip(tmp_path):
+    """The stage-stacked QATTrainState checkpoints and restores through the
+    standard utils (stacked (S, L, …) leaves are ordinary pytree leaves)."""
+    from jaxlsq.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    model = _model()
+    tx = optax.sgd(1e-2)
+    mesh = pipeline_mesh(stage=4, data=1)
+    s = create_pipeline_state(model, tx, mesh, _tokens(2))
+    step = make_pipeline_train_step(model, tx, mesh, num_microbatches=2,
+                                    donate=False)
+    toks = _tokens(8, seed=91)
+    s, _ = step(s, {"input": toks, "label": toks})
+
+    save_checkpoint(str(tmp_path), s, step=1)
+    target = create_pipeline_state(model, tx, mesh, _tokens(2))
+    restored = restore_checkpoint(str(tmp_path), target)
+    for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and a restored state keeps training under the pipelined step
+    from jaxlsq.parallel import pipeline_sharding
+
+    restored = jax.tree.map(jax.device_put, restored,
+                            pipeline_sharding(mesh, restored))
+    s2, m2 = step(restored, {"input": toks, "label": toks})
+    assert np.isfinite(float(m2["loss"]))
