@@ -99,11 +99,13 @@ class _ExpertDense(nn.Module):
                                    lambda: jnp.ones((c,), jnp.float32)).value
             azp = self.variable("quantized", "act_zp",
                                 lambda: jnp.zeros((c,), jnp.int32)).value
-            if self.qconfig.act_mode in ("dynamic", "static_int8"):
+            if self.qconfig.act_mode == "dynamic":
                 raise ValueError(
-                    "QuantMoE serving supports act_mode 'none' or 'static'; "
-                    f"got {self.qconfig.act_mode!r} (the int8×int8 batched "
-                    "expert matmul is not wired yet — serve weight-only)")
+                    "QuantMoE serving supports act_mode 'none', 'static' or "
+                    "'static_int8'; got 'dynamic' (per-microbatch dynamic "
+                    "ranges interact with routing — use static qparams)")
+            if self.qconfig.act_mode == "static_int8":
+                return self._serve_int8(x, packed, ascale, azp)
             if self.qconfig.act_mode == "static":
                 x = _static_act_quant(x, ascale, azp,
                                       self.qconfig.activation.spec)
@@ -120,6 +122,40 @@ class _ExpertDense(nn.Module):
                        preferred_element_type=jnp.float32)
         corr = zp * jnp.sum(x, axis=-1, dtype=jnp.float32)[..., None]
         return (y - corr) * s
+
+    def _serve_int8(self, x, packed, ascale, azp):
+        """Stacked int8×int8 expert einsum with the full dequant epilogue —
+        the batched analogue of serve/matmul.static_int8_matmul's identity::
+
+            out[e,c,n] = sx·s_e·[ xq@wq − zpx·Σ_k wq[e,k,n]
+                                  − zp_e·Σ_k xq[e,c,k] + K·zpx·zp_e ]
+
+        exact in integers up to the i32 accumulator, streaming BOTH operands
+        at int8 width.  Per-tensor activation qparams; per-expert (or
+        per-tensor) weight qparams broadcast as (E|1, 1, 1)."""
+        aspec = self.qconfig.activation.spec
+        if ascale.shape[0] != 1:
+            raise ValueError("static activation qparams must be per-tensor")
+        sx = ascale.astype(jnp.float32)[0]
+        zpx = azp.astype(jnp.float32)[0]
+        # unsigned ranges (quint8) overflow the int8 carrier: recentre by 128
+        shift = 128.0 if aspec.quant_max > 127 else 0.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx + zpx),
+                      aspec.quant_min, aspec.quant_max) - shift
+        xq = xq.astype(jnp.int8)
+        zpx = zpx - shift
+        acc = jnp.einsum("eck,ekn->ecn", xq, packed.data,
+                         preferred_element_type=jnp.int32)
+        sw = packed.scale.reshape(-1, 1, 1).astype(jnp.float32)
+        zpw = packed.zero_point.reshape(-1, 1, 1).astype(jnp.float32)
+        colsum_w = jnp.sum(packed.data.astype(jnp.int32), axis=1)  # (E, N)
+        rowsum_x = jnp.sum(xq.astype(jnp.int32), axis=-1)          # (E, C)
+        kdim = x.shape[-1]
+        out = (acc.astype(jnp.float32)
+               - zpx * colsum_w.astype(jnp.float32)[:, None, :]
+               - zpw * rowsum_x.astype(jnp.float32)[..., None]
+               + float(kdim) * zpx * zpw)
+        return out * (sx * sw)
 
 
 class QuantMoE(nn.Module):

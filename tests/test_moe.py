@@ -255,11 +255,28 @@ def test_serve_einsum_matches_dequant_oracle():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_serve_rejects_unwired_act_modes():
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_serve_static_int8_matches_simulated(per_channel):
+    """The stacked int8×int8 expert einsum (both operands int8 on the MXU,
+    full dequant epilogue) == the float-simulated static path to f32
+    rounding — the same identity static_int8_matmul pins for 2-D."""
+    moe, qc, state = _trained_moe(per_channel=per_channel)
+    serve_vars = convert({**state.params, **state.model_state}, qc)
+    x = _x(12, seed=23)
+    sim = dataclasses.replace(
+        moe, qconfig=qc.for_serving("static", precision="highest"))
+    want = sim.apply(serve_vars, x, training=False)
+    m_int = dataclasses.replace(moe, qconfig=qc.for_serving("static_int8"))
+    got = m_int.apply(serve_vars, x, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_serve_rejects_dynamic_act_mode():
     moe, qc, state = _trained_moe(steps=1)
     serve_vars = convert({**state.params, **state.model_state}, qc)
     sm = dataclasses.replace(moe, qconfig=qc.for_serving(act_mode="dynamic"))
-    with pytest.raises(ValueError, match="weight-only"):
+    with pytest.raises(ValueError, match="dynamic"):
         sm.apply(serve_vars, _x(4), training=False)
 
 
