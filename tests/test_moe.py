@@ -511,3 +511,31 @@ class TestMoELM:
                 want.append(int(tok[0]))
                 idx = idx + 1
             np.testing.assert_array_equal(got, np.asarray(want, np.int32))
+
+
+@needs8
+def test_ep_serving_forward_matches_unsharded():
+    """Expert-parallel SERVING: moe_sharding places the packed int8 expert
+    stacks (PackedWeight data/scale/zp) over the 'expert' axis; the jitted
+    serve forward equals the unsharded one and never gathers the stacks."""
+    import re
+
+    moe, qc, state = _trained_moe()
+    sv = convert({**state.params, **state.model_state}, qc)
+    sm = dataclasses.replace(moe, qconfig=qc.for_serving("static"))
+    x = _x(16, seed=70)
+    want = sm.apply(sv, x, training=False)
+
+    mesh = _ep_mesh()
+    sh = moe_sharding(mesh, sv, num_experts=E, axis="expert")
+    sv8 = jax.tree.map(jax.device_put, sv, sh)
+    xin = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    fwd = jax.jit(lambda v, a: sm.apply(v, a, training=False))
+    compiled = fwd.lower(sv8, xin).compile()
+    got = compiled(sv8, xin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # the int8 stacks stay sharded: no all-gather result carries s8[E,·,·]
+    for line in compiled.as_text().splitlines():
+        if re.search(r"=\s*\S+\s+all-gather\(", line):
+            assert f"s8[{E}," not in line.split("=", 1)[0], line.strip()
