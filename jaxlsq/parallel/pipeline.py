@@ -36,8 +36,10 @@ GPipe-style PIPELINE parallelism, built the TPU way —
 
 Bubble ticks run the stage on stale buffer contents (static shapes — XLA
 requirement); their state writes and loss contributions are masked out.  The
-embed/head run on every stage and are masked to stage 0 / S-1 — simpler and
-fully fused; their cost is small next to ``depth/S`` blocks per tick.
+embed and the vocab-wide head+loss run under ``lax.cond`` gated to stage 0 /
+S-1 — per-device control flow is legal inside shard_map (no collectives in
+the branches), so the other stages skip those FLOPs entirely instead of
+computing-and-masking.
 
 Composes with data parallelism: the mesh is ``(data, stage)``; the batch
 shards over 'data', grads psum over 'data', stage slabs stay put.
@@ -268,18 +270,27 @@ def make_pipeline_train_step(
 
             def tick(carry, i):
                 (buf, e_qp, e_qs, h_qp, h_qs, bqp, bqs, loss_sum) = carry
-                # ---- stage 0 injects microbatch i (clipped on bubbles) ----
+                # ---- stage 0 injects microbatch i (clipped on bubbles).
+                # The embed runs under lax.cond gated to stage 0: other
+                # stages skip its FLOPs entirely (per-device control flow is
+                # fine inside shard_map; no collectives in the branch) ----
                 j_in = jnp.clip(i, 0, MB - 1)
-                tok_mb = mtoks[j_in]
-                x0, e_mut = emb.apply(
-                    {**emb_v, "qparams": e_qp, "quant_state": e_qs},
-                    tok_mb, training=True, mutable=MUT)
-                if not rope:
-                    x0 = x0 + p["pos_emb"][None, :t]
-                inj = i < MB
-                e_qp = _tree_where(inj, e_mut["qparams"], e_qp)
-                e_qs = _tree_where(inj, e_mut["quant_state"], e_qs)
-                x = jnp.where(sid == 0, x0, buf)
+
+                def do_embed(ops):
+                    e_qp, e_qs = ops
+                    x0, e_mut = emb.apply(
+                        {**emb_v, "qparams": e_qp, "quant_state": e_qs},
+                        mtoks[j_in], training=True, mutable=MUT)
+                    if not rope:
+                        x0 = x0 + p["pos_emb"][None, :t]
+                    inj = i < MB  # don't observe the clipped repeat batches
+                    return (x0.astype(buf.dtype),
+                            _tree_where(inj, e_mut["qparams"], e_qp),
+                            _tree_where(inj, e_mut["quant_state"], e_qs))
+
+                x, e_qp, e_qs = jax.lax.cond(
+                    sid == 0, do_embed, lambda ops: (buf, *ops),
+                    (e_qp, e_qs))
 
                 # ---- this stage's L blocks (masked on bubble ticks) ----
                 active = (i >= sid) & (i - sid < MB)
@@ -287,17 +298,27 @@ def make_pipeline_train_step(
                 bqp = _tree_where(active, nbqp, bqp)
                 bqs = _tree_where(active, nbqs, bqs)
 
-                # ---- last stage heads microbatch i-(S-1) ----
+                # ---- last stage heads microbatch i-(S-1); ln_f + the
+                # vocab-wide head matmul + loss run ONLY there (cond) ----
                 jv = i - (S - 1)
-                z = ln_f.apply({"params": p["ln_f"]}, y)
-                logits, h_mut = head.apply(
-                    {**head_v, "qparams": h_qp, "quant_state": h_qs},
-                    z, training=True, mutable=MUT)
-                lvalid = (jv >= 0) & (sid == S - 1)
-                h_qp = _tree_where(lvalid, h_mut["qparams"], h_qp)
-                h_qs = _tree_where(lvalid, h_mut["quant_state"], h_qs)
-                li = loss_fn(logits, mlabels[jnp.clip(jv, 0, MB - 1)])
-                loss_sum = loss_sum + jnp.where(lvalid, li, 0.0)
+
+                def do_head(ops):
+                    h_qp, h_qs = ops
+                    z = ln_f.apply({"params": p["ln_f"]}, y)
+                    logits, h_mut = head.apply(
+                        {**head_v, "qparams": h_qp, "quant_state": h_qs},
+                        z, training=True, mutable=MUT)
+                    li = loss_fn(logits, mlabels[jnp.clip(jv, 0, MB - 1)])
+                    keep = jv >= 0  # bubble tail: logits are stale
+                    return (jnp.where(keep, li, 0.0),
+                            _tree_where(keep, h_mut["qparams"], h_qp),
+                            _tree_where(keep, h_mut["quant_state"], h_qs))
+
+                li, h_qp, h_qs = jax.lax.cond(
+                    sid == S - 1, do_head,
+                    lambda ops: (jnp.zeros((), jnp.float32), *ops),
+                    (h_qp, h_qs))
+                loss_sum = loss_sum + li
 
                 send = jax.lax.ppermute(y, "stage", perm)
                 return (send, e_qp, e_qs, h_qp, h_qs, bqp, bqs,
