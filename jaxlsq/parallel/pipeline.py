@@ -212,6 +212,8 @@ def make_pipeline_train_step(
         raise ValueError(f"depth {depth} not divisible by stage={S}")
     L = depth // S
     MB = int(num_microbatches)
+    if MB < 1:
+        raise ValueError(f"num_microbatches must be >= 1, got {MB}")
     rope = getattr(model, "pos_embedding", "learned") == "rope"
     blk = QuantTransformerBlock(model.dim, model.num_heads, model.qconfig,
                                 num_kv_heads=model.num_kv_heads, rope=rope)

@@ -79,8 +79,9 @@ def test_moe_blocks_rejected():
                                  num_microbatches=2)
 
 
-@pytest.mark.parametrize("pos", ["learned", "rope"])
-def test_pipeline_matches_accum_step(pos):
+@pytest.mark.parametrize("pos,kvh", [("learned", None), ("rope", None),
+                                     ("rope", 2)])
+def test_pipeline_matches_accum_step(pos, kvh):
     """S=4 pipeline with MB=2 == single-device accum_steps=2, over several
     steps: loss trajectory and every trained parameter (quantizer scales
     included) agree — the pipeline IS the accumulation step, rescheduled.
@@ -88,7 +89,7 @@ def test_pipeline_matches_accum_step(pos):
     window-closing step has a documented one-step grad deferral — see
     test_observer_window_transition)."""
     model = _model(qc=default_qconfig(8, 8, init_batches=0),
-                   pos_embedding=pos)
+                   pos_embedding=pos, num_kv_heads=kvh)
     tx = optax.sgd(1e-2)
     mesh = pipeline_mesh(stage=4, data=1)
     MB = 2
