@@ -539,3 +539,26 @@ def test_ep_serving_forward_matches_unsharded():
     for line in compiled.as_text().splitlines():
         if re.search(r"=\s*\S+\s+all-gather\(", line):
             assert f"s8[{E}," not in line.split("=", 1)[0], line.strip()
+
+
+def test_toggles_reach_expert_quantizers():
+    """disable_fake_quant walks the MoE scopes (act_fq/weight_fq live under
+    experts_up/experts_down like any QuantDense): with fake-quant disabled
+    the MoE output equals the float model sharing the same parameters."""
+    from jaxlsq.models.toggles import disable_fake_quant
+
+    qc = default_qconfig(8, 8, init_batches=0)
+    moe = QuantMoE(hidden=H, num_experts=E, qconfig=qc,
+                   capacity_factor=float(E))
+    x = _x(10, seed=81)
+    variables = moe.init(jax.random.key(9), x)
+    off = disable_fake_quant(variables)
+    got = moe.apply(off, x, training=False,
+                    mutable=["losses", "quant_state", "qparams"])[0]
+
+    fmoe = QuantMoE(hidden=H, num_experts=E, qconfig=_float_qc(),
+                    capacity_factor=float(E))
+    want = fmoe.apply({"params": variables["params"]}, x, training=False,
+                      mutable=["losses"])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
