@@ -26,10 +26,13 @@ for per-channel weights — each expert trains its own step size, the MoE
 analogue of per-output-channel granularity.  The router stays float (standard
 practice: routing logits are tiny and precision-sensitive).
 
-Serving: ``jaxlsq.serve.convert`` packs the stacked kernels to int8 with
-per-expert scales; serve mode here runs a weight-only dequant-fused einsum
-(scale factors out of the contraction exactly, so the fold is lossless —
-same identity the 2-D wo_matmul uses, serve/matmul.py).
+Serving: ``jaxlsq.serve.convert`` packs the stacked kernels to int8 — or
+nibble-packed int4 along K when the trained range fits the signed int4
+carrier (serve/pack.py split-half layout) — with per-expert scales; serve
+mode here runs a weight-only dequant-fused einsum (scale factors out of the
+contraction exactly, so the fold is lossless — same identity the 2-D
+wo_matmul uses, serve/matmul.py), or the int8×int8 epilogue path
+(``act_mode='static_int8'``).
 """
 
 from __future__ import annotations
@@ -45,6 +48,20 @@ from .layers import FakeQuantize, _dummy_packed, _static_act_quant
 from .qconfig import QConfig
 
 __all__ = ["QuantMoE", "load_balance_loss"]
+
+
+def _expert_carrier(packed):
+    """int8 view of a stacked expert weight: int4 stacks unpack their
+    nibble-packed K axis (k_axis=1 of (E, K, N); zero-pad sliced back via
+    orig_shape) — the same layout contract as serve/pack.unpack_int4."""
+    if packed.bits == 4:
+        from ..serve.pack import unpack_int4
+
+        q = unpack_int4(packed.data, k_axis=1)
+        if q.shape[1] != packed.orig_shape[1]:
+            q = jax.lax.slice_in_dim(q, 0, packed.orig_shape[1], axis=1)
+        return q
+    return packed.data
 
 
 def load_balance_loss(gates: jnp.ndarray, top1: jnp.ndarray) -> jnp.ndarray:
@@ -92,7 +109,7 @@ class _ExpertDense(nn.Module):
         wspec = self.qconfig.required_weight_for_axis(0).spec
         packed = self.variable(
             "quantized", "kernel",
-            lambda: _dummy_packed(kshape, wspec, 0, bits=8)).value
+            lambda: _dummy_packed(kshape, wspec, 0)).value
         if self.qconfig.activation is not None:
             c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
             ascale = self.variable("quantized", "act_scale",
@@ -118,7 +135,7 @@ class _ExpertDense(nn.Module):
         s = packed.scale.reshape(-1, 1, 1)        # (E|1, 1, 1)
         zp = packed.zero_point.reshape(-1, 1, 1).astype(jnp.float32)
         y = jnp.einsum("eck,ekn->ecn", x.astype(cd),
-                       packed.data.astype(cd),
+                       _expert_carrier(packed).astype(cd),
                        preferred_element_type=jnp.float32)
         corr = zp * jnp.sum(x, axis=-1, dtype=jnp.float32)[..., None]
         return (y - corr) * s
@@ -144,11 +161,12 @@ class _ExpertDense(nn.Module):
                       aspec.quant_min, aspec.quant_max) - shift
         xq = xq.astype(jnp.int8)
         zpx = zpx - shift
-        acc = jnp.einsum("eck,ekn->ecn", xq, packed.data,
+        wq = _expert_carrier(packed)  # int8 view (int4 stacks unpack)
+        acc = jnp.einsum("eck,ekn->ecn", xq, wq,
                          preferred_element_type=jnp.int32)
         sw = packed.scale.reshape(-1, 1, 1).astype(jnp.float32)
         zpw = packed.zero_point.reshape(-1, 1, 1).astype(jnp.float32)
-        colsum_w = jnp.sum(packed.data.astype(jnp.int32), axis=1)  # (E, N)
+        colsum_w = jnp.sum(wq.astype(jnp.int32), axis=1)           # (E, N)
         rowsum_x = jnp.sum(xq.astype(jnp.int32), axis=-1)          # (E, C)
         kdim = x.shape[-1]
         out = (acc.astype(jnp.float32)

@@ -96,10 +96,8 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
             wspec = qconfig.weight.spec.replace(axis=axis) \
                 if qconfig.weight.spec.per_channel else qconfig.weight.spec
             wqp = q_tree["weight_fq"]["qp"]
-            # embedding: int4 nibble packing would break the row gather;
-            # 3-D MoE stacks: the weight-only expert einsum consumes int8
-            bits = (8 if wname == "embedding" or kernel.ndim == 3
-                    else serving_bits(wspec))
+            # embedding: int4 nibble packing would break the row gather
+            bits = 8 if wname == "embedding" else serving_bits(wspec)
             packed = quantize_weight(
                 kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
             quantized: Dict[str, Any] = {wname: packed}

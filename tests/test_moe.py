@@ -562,3 +562,36 @@ def test_toggles_reach_expert_quantizers():
                       mutable=["losses"])[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_w4_expert_stacks_pack_and_serve_int4():
+    """4-bit-trained expert stacks convert to nibble-packed int4 carriers
+    (K axis halved) and the weight-only serve path matches QAT eval."""
+    qc = default_qconfig(4, 8, per_channel_weights=True, init_batches=2)
+    moe = QuantMoE(hidden=H, num_experts=E, qconfig=qc,
+                   capacity_factor=float(E))
+    tx = optax.sgd(1e-2)
+    r = rng(90)
+    x0 = jnp.asarray(r.randn(16, D).astype(np.float32))
+    state = create_train_state(moe, tx, x0)
+
+    def loss_fn(out, batch):
+        return jnp.mean((out - batch["label"]) ** 2)
+
+    step = make_train_step(moe, tx, loss_fn=loss_fn, donate=False)
+    for _ in range(3):
+        batch = {"input": jnp.asarray(r.randn(16, D).astype(np.float32)),
+                 "label": jnp.asarray(r.randn(16, D).astype(np.float32))}
+        state, _ = step(state, batch)
+
+    want, _ = moe.apply({**state.params, **state.model_state}, x0,
+                        training=False, mutable=["quant_state", "qparams"])
+    sv = convert({**state.params, **state.model_state}, qc)
+    up = sv["quantized"]["experts_up"]["kernel"]
+    assert up.bits == 4 and up.data.shape == (E, D // 2, H)
+    for mode, prec in (("static", "highest"), ("static_int8", None)):
+        sm = dataclasses.replace(
+            moe, qconfig=qc.for_serving(mode, precision=prec))
+        got = sm.apply(sv, x0, training=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=mode)
