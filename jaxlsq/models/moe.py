@@ -130,6 +130,8 @@ class _ExpertDense(nn.Module):
         # per-tensor) factors OUT of the d-contraction —
         #   y[e,c,n] = s_e · (Σ_k x·q  −  zp_e · Σ_k x)
         # exactly (pack.dequantize_weight is the oracle; test_moe.py pins it).
+        if self.qconfig.serve_impl == "pallas":
+            return self._serve_pallas(x, packed)
         prec = self.qconfig.serve_precision
         cd = jnp.float32 if prec == "highest" else jnp.bfloat16
         s = packed.scale.reshape(-1, 1, 1)        # (E|1, 1, 1)
@@ -139,6 +141,30 @@ class _ExpertDense(nn.Module):
                        preferred_element_type=jnp.float32)
         corr = zp * jnp.sum(x, axis=-1, dtype=jnp.float32)[..., None]
         return (y - corr) * s
+
+    def _serve_pallas(self, x, packed):
+        """Expert-scanned fused weight-only matmul: one tuned 2-D
+        ``wo_matmul`` Pallas launch per expert (serve/matmul.py — the kernel
+        with input/output aliasing that the single-layer serving path
+        measured at the chip's weight-stream ceiling), scanned over the
+        stacked E axis so each expert's weights stream exactly once."""
+        from ..serve.matmul import wo_matmul
+        from ..serve.pack import PackedWeight
+
+        E = x.shape[0]
+        K, N = packed.orig_shape[1], packed.orig_shape[2]
+        s = jnp.broadcast_to(packed.scale, (E,))
+        zp = jnp.broadcast_to(packed.zero_point, (E,))
+
+        def body(_, ops):
+            xe, de, se, ze = ops
+            pe = PackedWeight(data=de, scale=se[None], zero_point=ze[None],
+                              bits=packed.bits, axis=1, k_axis=0,
+                              orig_shape=(K, N))
+            return None, wo_matmul(xe, pe, impl="pallas")
+
+        _, y = jax.lax.scan(body, None, (x, packed.data, s, zp))
+        return y
 
     def _serve_int8(self, x, packed, ascale, azp):
         """Stacked int8×int8 expert einsum with the full dequant epilogue —

@@ -595,3 +595,36 @@ def test_w4_expert_stacks_pack_and_serve_int4():
         got = sm.apply(sv, x0, training=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4, err_msg=mode)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_serve_pallas_matches_xla(bits):
+    """serve_impl='pallas' (expert-scanned 2-D wo_matmul launches) == the
+    XLA einsum path, for int8 and int4 stacks."""
+    qc = default_qconfig(bits, 8, per_channel_weights=True, init_batches=2)
+    moe = QuantMoE(hidden=H, num_experts=E, qconfig=qc,
+                   capacity_factor=float(E))
+    tx = optax.sgd(1e-2)
+    r = rng(95)
+    x0 = jnp.asarray(r.randn(16, D).astype(np.float32))
+    state = create_train_state(moe, tx, x0)
+
+    def loss_fn(out, batch):
+        return jnp.mean((out - batch["label"]) ** 2)
+
+    step = make_train_step(moe, tx, loss_fn=loss_fn, donate=False)
+    state, _ = step(state, {"input": x0, "label": x0})
+    sv = convert({**state.params, **state.model_state}, qc)
+    assert sv["quantized"]["experts_up"]["kernel"].bits == bits
+
+    # reference = the f32-exact XLA path (the Pallas kernel accumulates in
+    # f32, so it should sit much closer to f32 than the bf16 XLA einsum)
+    want = dataclasses.replace(
+        moe, qconfig=qc.for_serving("static", impl="xla",
+                                    precision="highest")).apply(
+        sv, x0, training=False)
+    got = dataclasses.replace(
+        moe, qconfig=qc.for_serving("static", impl="pallas")).apply(
+        sv, x0, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
