@@ -122,8 +122,11 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
 
     new_params, quantized = walk(params, qparams)
     out = {"params": new_params, "quantized": quantized or {}}
+    # 'losses' is per-step training scratch (QuantMoE's aux load-balance
+    # term) — meaningless at serving, and serve-mode modules don't create it
     for k, v in variables.items():
-        if k not in ("params", "qparams", "quant_state", "quantized"):
+        if k not in ("params", "qparams", "quant_state", "quantized",
+                     "losses"):
             out[k] = v
     return out
 

@@ -628,3 +628,20 @@ def test_serve_pallas_matches_xla(bits):
         sv, x0, training=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_convert_structure_matches_serve_init():
+    """convert() output structure == serve-mode QuantMoE.init structure —
+    checkpoints round-trip through either path (the dense-layer contract,
+    test_serve.py, extended to stacked experts incl. int4 dummy shapes)."""
+    for bits in (8, 4):
+        qc = default_qconfig(bits, 8, per_channel_weights=True,
+                             init_batches=1)
+        moe = QuantMoE(hidden=H, num_experts=E, qconfig=qc)
+        variables = moe.init(jax.random.key(11), _x())
+        sv = convert(variables, qc)
+        serve_moe = dataclasses.replace(moe, qconfig=qc.for_serving("static"))
+        tmpl = serve_moe.init(jax.random.key(12), _x(), training=False)
+        assert jax.tree.structure(sv) == jax.tree.structure(tmpl), bits
+        for a, b in zip(jax.tree.leaves(sv), jax.tree.leaves(tmpl)):
+            assert a.shape == b.shape and a.dtype == b.dtype, bits
