@@ -213,9 +213,16 @@ class QuantMoE(nn.Module):
     ``aux_loss_weight``) — ``parallel.make_train_step`` folds it into the
     objective automatically.
 
-    Expert parallelism: see ``jaxlsq.parallel.moe.moe_state_sharding`` — the
+    Expert parallelism: see ``jaxlsq.parallel.moe.moe_sharding`` — the
     stacked (E, …) params/qparams shard over a mesh 'expert' axis and the
     dispatch/combine einsums lower to all-to-alls.
+
+    Decode-serving note: tokens decoded in the same step batch are routed
+    TOGETHER, so capacity drops couple slots.  With
+    ``capacity_factor >= num_experts / top_k`` capacity can never bind
+    (C == N) and routing is exactly per-token — required for the
+    continuous-batching engines' staggered == lockstep guarantee
+    (test_moe.py::TestMoELM).
     """
 
     hidden: int
