@@ -47,7 +47,6 @@ shards over 'data', grads psum over 'data', stage slabs stay put.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax
@@ -73,11 +72,6 @@ def pipeline_mesh(stage: int, data: int = 1,
                          f"have {len(devices)}")
     arr = np.asarray(devices[: data * stage]).reshape(data, stage)
     return Mesh(arr, axis_names=("data", "stage"))
-
-
-def _is_block_key(k) -> bool:
-    name = getattr(k, "key", getattr(k, "name", ""))
-    return isinstance(name, str) and name.startswith("block")
 
 
 def stack_pipeline_variables(tree: Any, depth: int, stages: int) -> Any:
