@@ -47,7 +47,41 @@ import jax.numpy as jnp
 from .layers import FakeQuantize, _dummy_packed, _static_act_quant
 from .qconfig import QConfig
 
-__all__ = ["QuantMoE", "load_balance_loss"]
+__all__ = ["QuantMoE", "load_balance_loss", "route"]
+
+
+def route(gates: jnp.ndarray, top_k: int, capacity: int
+          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GShard choice-major capacity routing: (N, E) router probabilities →
+    ``(dispatch, combine)``, both (N, E, C).
+
+    * top-k gates are renormalized to a convex mixture over the KEPT picks;
+    * queue slots assign choice-major (all 1st choices before any 2nd
+      choice — GShard order) via a cumulative count per expert;
+    * picks whose slot ≥ capacity are DROPPED (their combine weight is 0);
+    * ``dispatch`` is the {0,1} mask of combine — einsum it with tokens to
+      build the (E, C, d) expert batches, and einsum ``combine`` with the
+      expert outputs to scatter-merge back.
+
+    Pure and shape-static: fuzz-tested invariants in test_moe.py
+    (≤1 token per (e, slot), ≤C tokens per expert, convex combine rows,
+    dropped rows exactly zero).
+    """
+    N, E = gates.shape
+    K, C = top_k, capacity
+    gate_k, idx_k = jax.lax.top_k(gates, K)           # (N, K)
+    gate_k = gate_k / jnp.maximum(jnp.sum(gate_k, -1, keepdims=True),
+                                  jnp.finfo(gates.dtype).tiny)
+    oh = jax.nn.one_hot(idx_k, E, dtype=jnp.int32)    # (N, K, E)
+    ohm = oh.transpose(1, 0, 2).reshape(K * N, E)
+    pos = (jnp.cumsum(ohm, axis=0) - 1).reshape(K, N, E).transpose(1, 0, 2)
+    pos = jnp.sum(pos * oh, axis=-1)                  # (N, K) queue slot
+    keep = pos < C
+    combine = (gate_k * keep)[..., None, None] * oh[..., None] \
+        * jax.nn.one_hot(pos, C, dtype=gates.dtype)[:, :, None, :]
+    combine = jnp.sum(combine, axis=1)                # (N, E, C)
+    dispatch = (combine > 0).astype(gates.dtype)
+    return dispatch, combine
 
 
 def _expert_carrier(packed):
@@ -248,24 +282,8 @@ class QuantMoE(nn.Module):
         logits = nn.Dense(E, use_bias=False, name="router")(
             xt.astype(jnp.float32))
         gates = jax.nn.softmax(logits, axis=-1)           # (N, E)
-        gate_k, idx_k = jax.lax.top_k(gates, K)           # (N, K)
-        # renormalize the kept gates so the combine is a convex mixture
-        gate_k = gate_k / jnp.maximum(jnp.sum(gate_k, -1, keepdims=True),
-                                      jnp.finfo(gates.dtype).tiny)
-
-        # --- capacity assignment, choice-major (all 1st choices queue
-        # before any 2nd choice, GShard order) ---
-        oh = jax.nn.one_hot(idx_k, E, dtype=jnp.int32)    # (N, K, E)
-        ohm = oh.transpose(1, 0, 2).reshape(K * N, E)
-        pos = (jnp.cumsum(ohm, axis=0) - 1).reshape(K, N, E).transpose(1, 0, 2)
-        pos = jnp.sum(pos * oh, axis=-1)                  # (N, K) queue slot
-        keep = pos < C
-
-        # --- dispatch/combine tensors ---
-        combine = (gate_k * keep) [..., None, None] * oh[..., None] \
-            * jax.nn.one_hot(pos, C, dtype=gates.dtype)[:, :, None, :]
-        combine = jnp.sum(combine, axis=1)                # (N, E, C)
-        dispatch = (combine > 0).astype(x.dtype)
+        dispatch, combine = route(gates, K, C)            # (N, E, C) each
+        dispatch = dispatch.astype(x.dtype)
 
         # --- expert compute (batched matmuls; EP shards axis 0) ---
         xe = jnp.einsum("nec,nd->ecd", dispatch, xt)      # (E, C, d)
@@ -282,5 +300,5 @@ class QuantMoE(nn.Module):
                                 lambda: jnp.zeros((), jnp.float32))
             if self.is_mutable_collection("losses"):
                 aux.value = self.aux_loss_weight * load_balance_loss(
-                    gates, idx_k[:, 0])
+                    gates, jnp.argmax(gates, axis=-1))
         return y.reshape(*lead, d)

@@ -645,3 +645,39 @@ def test_convert_structure_matches_serve_init():
         assert jax.tree.structure(sv) == jax.tree.structure(tmpl), bits
         for a, b in zip(jax.tree.leaves(sv), jax.tree.leaves(tmpl)):
             assert a.shape == b.shape and a.dtype == b.dtype, bits
+
+
+def test_route_invariants_fuzz():
+    """Property fuzz over the pure routing function (models/moe.py::route):
+    for random (N, E, top_k, C) —
+      * each (expert, slot) holds at most ONE token;
+      * each expert receives at most C tokens;
+      * combine rows are sub-convex (sum in [0, 1+eps]), exactly the
+        renormalized kept gates;
+      * dispatch is exactly the support of combine;
+      * with C >= N nothing drops: every row's combine sums to 1.
+    """
+    from jaxlsq.models.moe import route
+
+    r = rng(123)
+    for trial in range(25):
+        N = int(r.randint(1, 33))
+        Ee = int(r.randint(1, 9))
+        k = int(r.randint(1, Ee + 1))
+        C = int(r.randint(1, N + 3))
+        gates = jax.nn.softmax(
+            jnp.asarray(r.randn(N, Ee).astype(np.float32)) * 2.0, axis=-1)
+        dispatch, combine = route(gates, k, C)
+        d = np.asarray(dispatch)
+        cmb = np.asarray(combine)
+        assert d.shape == (N, Ee, C)
+        # one token per (expert, slot)
+        assert (d.sum(axis=0) <= 1 + 1e-6).all(), (trial, N, Ee, k, C)
+        # per-expert load <= capacity
+        assert (d.sum(axis=(0, 2)) <= C + 1e-6).all()
+        # combine support == dispatch; rows sub-convex
+        np.testing.assert_array_equal(cmb > 0, d > 0)
+        rows = cmb.sum(axis=(1, 2))
+        assert (rows <= 1 + 1e-5).all() and (rows >= -1e-6).all()
+        if C >= N:  # nothing can drop
+            np.testing.assert_allclose(rows, np.ones(N), rtol=1e-5)
