@@ -1,3 +1,4 @@
+from .histogram import HistogramObserver, HistogramObserverState
 from .minmax import (
     MinMaxObserver,
     MovingAverageMinMaxObserver,
@@ -8,6 +9,8 @@ from .minmax import (
 from .quantizer import LSQQuantizer, QuantizerState, convert_shift_to_zp
 
 __all__ = [
+    "HistogramObserver",
+    "HistogramObserverState",
     "MinMaxObserver",
     "MovingAverageMinMaxObserver",
     "MSEObserver",
