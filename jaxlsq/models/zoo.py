@@ -221,7 +221,11 @@ class QuantTransformerBlock(nn.Module):
     (B, H, q, kpos) score matrix after the QK dot, and the value scale
     multiplies the softmax weights BEFORE the AV dot — so the int8 arrays
     stream at 1/4 (vs f32) or 1/2 (vs bf16) the cache bandwidth and no
-    dequantized copy ever exists in HBM.  Extends the framework's
+    dequantized copy ever exists in HBM.  An INT4 layout halves that again:
+    ``(data uint8 (B, H, L, hd // 2), scale f32 (B, H, L))`` from
+    ``init_kv_cache(dtype=jnp.int4)`` — the same per-row symmetric scheme
+    clipped to [-7, 7] with two values nibble-packed per byte, unpacked in
+    registers (i32 shifts) inside the dots.  Extends the framework's
     weight-quantization thesis to the decode-time cache stream (the
     reference has no serving runtime to compare — SURVEY.md §5).
 
@@ -325,35 +329,56 @@ class QuantTransformerBlock(nn.Module):
                 kpos = kpos[:, :, None]
 
             if quantized:
+                int4 = ck[0].dtype == jnp.uint8  # nibble-packed layout
+
                 def q8(a):  # per-(b, h, position) symmetric int8
                     s = jnp.max(jnp.abs(a), axis=-1) / 127.0
                     s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
                     data = jnp.clip(jnp.round(a / s[..., None]), -127, 127)
                     return data.astype(jnp.int8), s.astype(jnp.float32)
 
-                kq, ks = q8(k)
-                vq, vs = q8(v)
+                def q4(a):  # same scheme at 4 bits, two values per byte
+                    s = jnp.max(jnp.abs(a), axis=-1) / 7.0
+                    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+                    data = jnp.clip(jnp.round(a / s[..., None]),
+                                    -7, 7).astype(jnp.int32)
+                    n = data & 0xF  # two's-complement nibbles
+                    packed = (n[..., 0::2] | (n[..., 1::2] << 4))
+                    return packed.astype(jnp.uint8), s.astype(jnp.float32)
+
+                def unpack4(p, dt):
+                    """uint8 nibble pairs -> the original values, computed
+                    in i32 (int8 vector shifts don't legalize on v5e)."""
+                    b32 = p.astype(jnp.int32)
+                    lo = ((b32 & 0xF) ^ 8) - 8  # sign-extend low nibble
+                    hi = ((b32 >> 4) ^ 8) - 8
+                    full = jnp.stack([lo, hi], axis=-1)
+                    return full.reshape(*p.shape[:-1],
+                                        2 * p.shape[-1]).astype(dt)
+
+                kq, ks = (q4 if int4 else q8)(k)
+                vq, vs = (q4 if int4 else q8)(v)
                 ckd = write(ck[0], kq, idx)
                 cks = write(ck[1], ks, idx)
                 cvd = write(cv[0], vq, idx)
                 cvs = write(cv[1], vs, idx)
+                ckf = unpack4(ckd, q.dtype) if int4 else ckd.astype(q.dtype)
+                cvf = unpack4(cvd, q.dtype) if int4 else cvd.astype(q.dtype)
                 # dequant folds into the dots: per-KEY-position scales hit
                 # the score matrix after QK, and the value scales hit the
                 # softmax weights BEFORE AV
                 if g == 1:
-                    att = (jnp.einsum("bhqd,bhkd->bhqk", q,
-                                      ckd.astype(q.dtype))
+                    att = (jnp.einsum("bhqd,bhkd->bhqk", q, ckf)
                            * cks.astype(q.dtype)[:, :, None, :]
                            / jnp.sqrt(float(hd)))
                     att = jnp.where(kpos <= qpos, att, -1e9)
                     att = jax.nn.softmax(att, axis=-1)
                     y = jnp.einsum("bhqk,bhkd->bhqd",
                                    att * cvs.astype(q.dtype)[:, :, None, :],
-                                   cvd.astype(q.dtype))
+                                   cvf)
                 else:
                     q5 = q.reshape(b, kvh, g, t, hd)
-                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5,
-                                      ckd.astype(q.dtype))
+                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5, ckf)
                            * cks.astype(q.dtype)[:, :, None, None, :]
                            / jnp.sqrt(float(hd)))
                     att = jnp.where(kpos <= qpos, att, -1e9)
@@ -361,7 +386,7 @@ class QuantTransformerBlock(nn.Module):
                     y = jnp.einsum(
                         "bkgql,bkld->bkgqd",
                         att * cvs.astype(q.dtype)[:, :, None, None, :],
-                        cvd.astype(q.dtype)).reshape(b, h, t, hd)
+                        cvf).reshape(b, h, t, hd)
                 new_kv = ((ckd, cks), (cvd, cvs))
             else:
                 ck = write(ck, k, idx)

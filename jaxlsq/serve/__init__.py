@@ -11,7 +11,8 @@ handing qparams to ``torch.quantization.convert``, observers.py:403-422):
 """
 
 from .convert import convert, shard_converted, shard_packed, serving_bits
-from .decode import (DecodeEngine, SpeculativeDecodeEngine, init_kv_cache,
+from .decode import (DecodeEngine, Prefix, SpeculativeDecodeEngine,
+                     init_kv_cache,
                      make_beam_search,
                      make_generate, make_sampler, make_speculative_generate,
                      prefill)
@@ -24,7 +25,7 @@ from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
 __all__ = [
     "convert", "shard_converted", "shard_packed", "serving_bits",
     "ServingEngine",
-    "DecodeEngine", "init_kv_cache", "make_beam_search", "make_generate", "make_sampler",
+    "DecodeEngine", "Prefix", "init_kv_cache", "make_beam_search", "make_generate", "make_sampler",
     "make_speculative_generate", "SpeculativeDecodeEngine", "prefill",
     "dynamic_int8_matmul", "static_int8_conv", "static_int8_matmul",
     "wo_matmul",

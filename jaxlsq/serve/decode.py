@@ -37,7 +37,7 @@ import numpy as np
 
 __all__ = ["init_kv_cache", "prefill", "make_generate", "make_sampler",
            "make_beam_search", "make_speculative_generate", "DecodeEngine",
-           "SpeculativeDecodeEngine"]
+           "SpeculativeDecodeEngine", "Prefix"]
 
 
 def make_sampler(temperature: float = 1.0, top_k: Optional[int] = None):
@@ -73,14 +73,30 @@ def init_kv_cache(model, batch_size: int, *, dtype=jnp.float32,
     are quantized symmetrically per (b, h, position) and the per-row scales
     fold into the attention dots (see QuantTransformerBlock, models/zoo.py),
     so the cache streams at 1/4 the f32 bandwidth with no dequantized copy
-    in HBM.  All decode paths (prefill / make_generate / the engines /
-    speculative) accept either layout."""
+    in HBM.
+
+    ``dtype=jnp.int4`` (or ``"int4"``) halves that again: the same per-row
+    symmetric scheme at 4 bits ([-7, 7]), with two values nibble-packed per
+    byte along head_dim — ``(data uint8 (B, H, L, hd // 2), scale f32
+    (B, H, L))``; the dots unpack in registers (no unpacked copy in HBM).
+    All decode paths (prefill / make_generate / the engines / speculative)
+    accept every layout."""
     L = model.max_len if max_len is None else max_len
     hd = model.dim // model.num_heads
     # grouped-query attention: the cache holds num_kv_heads heads (the whole
     # point — the decode-time cache stream shrinks by heads/kv_heads)
     kvh = getattr(model, "num_kv_heads", None) or model.num_heads
     shape = (batch_size, kvh, L, hd)
+    name = dtype if isinstance(dtype, str) else np.dtype(dtype).name
+    if name == "int4":
+        if hd % 2:
+            raise ValueError("int4 KV cache needs an even head_dim "
+                             f"(got {hd}): values are nibble-packed in pairs")
+
+        def entry():
+            return (jnp.zeros(shape[:-1] + (hd // 2,), jnp.uint8),
+                    jnp.zeros(shape[:-1], jnp.float32))
+        return tuple((entry(), entry()) for _ in range(model.depth))
     if np.dtype(dtype) == np.int8:
         def entry():
             return (jnp.zeros(shape, jnp.int8),
@@ -177,14 +193,36 @@ def make_generate(model, prompt_len: int, n_new: int, *,
 # ---------------------------------------------------------------------------
 
 class _GenRequest:
-    __slots__ = ("prompt", "n_new", "future", "tokens", "slot")
+    __slots__ = ("prompt", "n_new", "future", "tokens", "slot", "prefix")
 
-    def __init__(self, prompt: np.ndarray, n_new: int):
+    def __init__(self, prompt: np.ndarray, n_new: int, prefix=None):
         self.prompt = prompt
         self.n_new = n_new
         self.future: Future = Future()
         self.tokens: list = []
         self.slot = -1
+        self.prefix = prefix
+
+
+class Prefix:
+    """A prefilled, immutable KV prefix (e.g. a shared system prompt).
+
+    Built once by ``DecodeEngine.register_prefix`` /
+    ``SpeculativeDecodeEngine.register_prefix``: the prefix tokens are
+    chunk-prefilled into a private B=1 slot cache, positions [0, length).
+    ``submit(suffix, prefix=handle)`` then seeds each admission from a COPY
+    of this cache and prefills only the suffix at offset positions — the
+    shared prefix's attention work is paid once per handle, not once per
+    request.  ``caches`` holds one slot-cache pytree per model driven by the
+    engine (one for ``DecodeEngine``, (target, draft) for
+    ``SpeculativeDecodeEngine``)."""
+
+    __slots__ = ("tokens", "length", "caches")
+
+    def __init__(self, tokens: np.ndarray, length: int, caches: tuple):
+        self.tokens = tokens
+        self.length = length
+        self.caches = caches
 
 
 class _PendingAdmit:
@@ -192,10 +230,10 @@ class _PendingAdmit:
     slot cache being filled, and the chunk cursor."""
 
     __slots__ = ("req", "slot", "slot_cache", "chunk_idx", "n_chunks",
-                 "padded", "c", "steps_at_start")
+                 "padded", "c", "steps_at_start", "base")
 
     def __init__(self, *, req, slot, slot_cache, chunk_idx, n_chunks, padded,
-                 c, steps_at_start):
+                 c, steps_at_start, base=0):
         self.req = req
         self.slot = slot
         self.slot_cache = slot_cache
@@ -204,6 +242,8 @@ class _PendingAdmit:
         self.padded = padded
         self.c = c
         self.steps_at_start = steps_at_start
+        # first suffix position: 0, or the length of the request's Prefix
+        self.base = base
 
 
 class DecodeEngine:
@@ -238,6 +278,12 @@ class DecodeEngine:
     * ``decode step``: one program advances ALL active slots one token
       (argmax).  Free slots run parked at max_len-1 (same
       overwrite-before-read argument); their output tokens are ignored.
+    * PREFIX CACHING: ``register_prefix(tokens)`` prefills a shared prompt
+      prefix once into an immutable handle; ``submit(suffix, prefix=h)``
+      admissions start from a copy of that cache and prefill only the
+      suffix (positions offset by the prefix length) — bit-exact vs the
+      concatenated prompt, and the shared prefill cost is paid per handle,
+      not per request.
     * The host loop (dispatcher thread) only admits/retires requests and
       relays tokens — everything shape-dependent is compiled once.
 
@@ -370,9 +416,67 @@ class DecodeEngine:
             self._pos = jnp.full((self.max_batch,), self.max_len - 1,
                                  jnp.int32)
 
-    def submit(self, prompt, n_new: int) -> Future:
+    def register_prefix(self, tokens) -> Prefix:
+        """Prefill a shared prompt prefix ONCE and return a reusable handle.
+
+        ``submit(suffix, prefix=handle)`` admissions then start from a copy
+        of the prefilled cache and chunk-prefill only the suffix — the
+        per-request prefill cost drops from O(prefix+suffix) to O(suffix).
+        Registration never touches the engine's decode state: the chunks run
+        against a private B=1 cache, interleaving with in-flight decode
+        steps on the device queue exactly like admission chunks, so it is
+        safe (and non-stalling) to register mid-serving.  The prefix can be
+        LONGER than the largest prompt bucket (the usual system-prompt
+        shape); only ``prefix.length + suffix + n_new <= max_len`` binds."""
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim != 1 or tokens.size == 0:
+            raise ValueError("prefix must be a non-empty 1-D token array")
+        if tokens.size >= self.max_len:
+            raise ValueError(
+                f"prefix length {tokens.size} must be < max_len "
+                f"{self.max_len} (no room left to decode)")
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError("DecodeEngine is closed")
+        c = self._chunk_len(self.buckets[-1])  # reuse a compiled chunk size
+        n_chunks = -(-tokens.size // c)
+        padded = np.zeros((1, n_chunks * c), np.int32)
+        padded[0, : tokens.size] = tokens
+        sc = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._cache)
+        for i in range(n_chunks):
+            sc = self._chunk_fn(self.variables,
+                                sc, jnp.asarray(padded[:, i * c:(i + 1) * c]),
+                                jnp.asarray(i * c, jnp.int32))
+        jax.block_until_ready(sc)
+        # rows in [size, n_chunks*c) hold pad garbage: never read — the
+        # suffix admission overwrites from position `size` before any decode
+        # step attends there (the standard overwrite-before-exposure
+        # argument of chunked admission).
+        return Prefix(tokens, int(tokens.size), (sc,))
+
+    def _check_prefix(self, prefix, n_models: int):
+        if not isinstance(prefix, Prefix) or len(prefix.caches) != n_models:
+            raise ValueError("prefix must come from this engine kind's "
+                             "register_prefix()")
+        templates = ([self._cache] if n_models == 1
+                     else [self._tcache, self._dcache])
+        for got, tmpl in zip(prefix.caches, templates):
+            ok = (jax.tree.structure(got) == jax.tree.structure(tmpl))
+            if ok:
+                for g, t in zip(jax.tree.leaves(got), jax.tree.leaves(tmpl)):
+                    ok &= (g.shape == (1,) + t.shape[1:] and g.dtype == t.dtype)
+            if not ok:
+                raise ValueError(
+                    "prefix cache layout does not match this engine's "
+                    "(different model/max_len/cache_dtype?)")
+
+    def submit(self, prompt, n_new: int, *, prefix: Optional[Prefix] = None
+               ) -> Future:
         """Queue one generation request; Future resolves to an (n_new,) int32
-        array of greedily decoded tokens."""
+        array of greedily decoded tokens.  With ``prefix`` (from
+        :meth:`register_prefix`), ``prompt`` is the per-request SUFFIX that
+        continues the shared prefix."""
         prompt = np.asarray(prompt, np.int32)
         if prompt.ndim != 1 or prompt.size == 0:
             raise ValueError("prompt must be a non-empty 1-D token array")
@@ -380,9 +484,13 @@ class DecodeEngine:
             raise ValueError(
                 f"prompt length {prompt.size} exceeds the largest bucket "
                 f"{self.buckets[-1]}")
-        if prompt.size + n_new > self.max_len:
-            raise ValueError("prompt + n_new exceeds model.max_len")
-        req = _GenRequest(prompt, n_new)
+        base = 0
+        if prefix is not None:
+            self._check_prefix(prefix, 1)
+            base = prefix.length
+        if base + prompt.size + n_new > self.max_len:
+            raise ValueError("prefix + prompt + n_new exceeds model.max_len")
+        req = _GenRequest(prompt, n_new, prefix=prefix)
         with self._lifecycle_lock:
             if self._stop:
                 raise RuntimeError("DecodeEngine is closed")
@@ -455,19 +563,30 @@ class DecodeEngine:
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission; the
-        dispatcher advances one chunk per iteration (_advance_admission)."""
+        dispatcher advances one chunk per iteration (_advance_admission).
+        With a Prefix, the slot cache starts as a COPY of the prefilled
+        prefix cache (copy, because the chunk programs donate their cache
+        argument — the handle stays reusable) and chunks run at offset
+        positions."""
         b = next(b for b in self.buckets if b >= req.prompt.size)
         c = self._chunk_len(b)
         n_chunks = -(-req.prompt.size // c)
         padded = np.zeros((1, n_chunks * c), np.int32)
         padded[0, : req.prompt.size] = req.prompt
-        slot_cache = jax.tree.map(
-            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._cache)
+        if req.prefix is not None:
+            base = req.prefix.length
+            slot_cache = jax.tree.map(jnp.copy, req.prefix.caches[0])
+            self.stats["prefix_tokens_reused"] = (
+                self.stats.get("prefix_tokens_reused", 0) + base)
+        else:
+            base = 0
+            slot_cache = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._cache)
         req.slot = slot
         self._pending.append(_PendingAdmit(
             req=req, slot=slot, slot_cache=slot_cache, chunk_idx=0,
             n_chunks=n_chunks, padded=padded, c=c,
-            steps_at_start=self.stats["steps"]))
+            steps_at_start=self.stats["steps"], base=base))
 
     def _advance_admission(self, p: "_PendingAdmit"):
         """Run ONE chunk of the in-flight admission at the head of the
@@ -475,7 +594,7 @@ class DecodeEngine:
         into the global cache, and activates the slot."""
         i = p.chunk_idx
         toks = jnp.asarray(p.padded[:, i * p.c:(i + 1) * p.c])
-        start = jnp.asarray(i * p.c, jnp.int32)
+        start = jnp.asarray(p.base + i * p.c, jnp.int32)
         if i < p.n_chunks - 1:
             p.slot_cache = self._chunk_fn(self.variables, p.slot_cache,
                                           toks, start)
@@ -483,10 +602,10 @@ class DecodeEngine:
         else:
             self._cache, first = self._final_fn(
                 self.variables, self._cache, p.slot_cache, toks, start,
-                jnp.asarray(p.req.prompt.size, jnp.int32),
+                jnp.asarray(p.base + p.req.prompt.size, jnp.int32),
                 jnp.asarray(p.slot, jnp.int32), self._next_key())
             self._tok = self._tok.at[p.slot].set(first)
-            self._pos = self._pos.at[p.slot].set(p.req.prompt.size)
+            self._pos = self._pos.at[p.slot].set(p.base + p.req.prompt.size)
             p.req.tokens.append(int(first))
             self._slots[p.slot] = p.req
             self._pending.remove(p)
@@ -1138,17 +1257,51 @@ class SpeculativeDecodeEngine:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, prompt, n_new: int) -> Future:
+    def register_prefix(self, tokens) -> Prefix:
+        """Prefill a shared prompt prefix through BOTH models' private slot
+        caches once; see ``DecodeEngine.register_prefix``."""
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim != 1 or tokens.size == 0:
+            raise ValueError("prefix must be a non-empty 1-D token array")
+        if tokens.size >= self.max_len:
+            raise ValueError(
+                f"prefix length {tokens.size} must be < max_len "
+                f"{self.max_len} (no room left to decode)")
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError("SpeculativeDecodeEngine is closed")
+        c = self._chunk_len(self.buckets[-1])
+        n_chunks = -(-tokens.size // c)
+        padded = np.zeros((1, n_chunks * c), np.int32)
+        padded[0, : tokens.size] = tokens
+        t_sc = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._tcache)
+        d_sc = jax.tree.map(
+            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._dcache)
+        for i in range(n_chunks):
+            t_sc, d_sc = self._chunk_fn(
+                self.tvars, self.dvars, t_sc, d_sc,
+                jnp.asarray(padded[:, i * c:(i + 1) * c]),
+                jnp.asarray(i * c, jnp.int32))
+        jax.block_until_ready((t_sc, d_sc))
+        return Prefix(tokens, int(tokens.size), (t_sc, d_sc))
+
+    def submit(self, prompt, n_new: int, *, prefix: Optional[Prefix] = None
+               ) -> Future:
         prompt = np.asarray(prompt, np.int32)
         if prompt.ndim != 1 or prompt.size == 0:
             raise ValueError("prompt must be a non-empty 1-D token array")
         if prompt.size > self.buckets[-1]:
             raise ValueError(f"prompt length {prompt.size} exceeds the "
                              f"largest bucket {self.buckets[-1]}")
-        if prompt.size + n_new + self.k + 1 > self.max_len:
-            raise ValueError("prompt + n_new + k + 1 exceeds max_len "
-                             "(speculative verification headroom)")
-        req = _GenRequest(prompt, n_new)
+        base = 0
+        if prefix is not None:
+            self._check_prefix(prefix, 2)
+            base = prefix.length
+        if base + prompt.size + n_new + self.k + 1 > self.max_len:
+            raise ValueError("prefix + prompt + n_new + k + 1 exceeds "
+                             "max_len (speculative verification headroom)")
+        req = _GenRequest(prompt, n_new, prefix=prefix)
         with self._lifecycle_lock:
             if self._stop:
                 raise RuntimeError("SpeculativeDecodeEngine is closed")
@@ -1208,6 +1361,7 @@ class SpeculativeDecodeEngine:
     _next_key = DecodeEngine._next_key
     _chunk_len = DecodeEngine._chunk_len
     _finished = DecodeEngine._finished
+    _check_prefix = DecodeEngine._check_prefix
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission (both
@@ -1217,20 +1371,30 @@ class SpeculativeDecodeEngine:
         n_chunks = -(-req.prompt.size // c)
         padded = np.zeros((1, n_chunks * c), np.int32)
         padded[0, : req.prompt.size] = req.prompt
-        t_sc = jax.tree.map(
-            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._tcache)
-        d_sc = jax.tree.map(
-            lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._dcache)
+        if req.prefix is not None:
+            base = req.prefix.length
+            t_sc = jax.tree.map(jnp.copy, req.prefix.caches[0])
+            d_sc = jax.tree.map(jnp.copy, req.prefix.caches[1])
+            self.stats["prefix_tokens_reused"] = (
+                self.stats.get("prefix_tokens_reused", 0) + base)
+        else:
+            base = 0
+            t_sc = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype),
+                self._tcache)
+            d_sc = jax.tree.map(
+                lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype),
+                self._dcache)
         req.slot = slot
         self._pending.append(_PendingAdmit(
             req=req, slot=slot, slot_cache=(t_sc, d_sc), chunk_idx=0,
             n_chunks=n_chunks, padded=padded, c=c,
-            steps_at_start=self.stats["rounds"]))
+            steps_at_start=self.stats["rounds"], base=base))
 
     def _advance_admission(self, p: "_PendingAdmit"):
         i = p.chunk_idx
         toks = jnp.asarray(p.padded[:, i * p.c:(i + 1) * p.c])
-        start = jnp.asarray(i * p.c, jnp.int32)
+        start = jnp.asarray(p.base + i * p.c, jnp.int32)
         t_sc, d_sc = p.slot_cache
         if i < p.n_chunks - 1:
             p.slot_cache = self._chunk_fn(self.tvars, self.dvars, t_sc, d_sc,
@@ -1240,10 +1404,10 @@ class SpeculativeDecodeEngine:
             self._tcache, self._dcache, first = self._final_fn(
                 self.tvars, self.dvars, self._tcache, self._dcache, t_sc,
                 d_sc, toks, start,
-                jnp.asarray(p.req.prompt.size, jnp.int32),
+                jnp.asarray(p.base + p.req.prompt.size, jnp.int32),
                 jnp.asarray(p.slot, jnp.int32), self._next_key())
             self._tok = self._tok.at[p.slot].set(first)
-            self._pos = self._pos.at[p.slot].set(p.req.prompt.size)
+            self._pos = self._pos.at[p.slot].set(p.base + p.req.prompt.size)
             p.req.tokens.append(int(first))
             self._slots[p.slot] = p.req
             self._pending.remove(p)

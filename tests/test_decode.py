@@ -814,6 +814,106 @@ class TestInt8KVCache:
         np.testing.assert_array_equal(got, want)
 
 
+class TestInt4KVCache:
+    """INT4 KV cache: the int8 per-row scheme at 4 bits with two values
+    nibble-packed per byte along head_dim, unpacked in registers inside the
+    attention dots (models/zoo.py::unpack4)."""
+
+    def test_cache_layout(self, qat_setup):
+        model, variables, tokens, qc = qat_setup
+        cache = init_kv_cache(model, 2, dtype=jnp.int4)
+        (kd, ks), (vd, vs) = cache[0]
+        hd = model.dim // model.num_heads
+        assert kd.shape == (2, model.num_heads, model.max_len, hd // 2)
+        assert kd.dtype == jnp.uint8 and vd.dtype == jnp.uint8
+        assert ks.shape == (2, model.num_heads, model.max_len)
+        assert ks.dtype == jnp.float32
+
+    def test_pack_unpack_roundtrip_exact(self):
+        """Nibble pack/unpack is exact for every value in [-7, 7]: quantize
+        a row whose abs-max maps the grid onto integers and recover it."""
+        vals = np.array([[-7, -3, -1, 0, 1, 2, 5, 7]], np.float32)  # hd=8
+        x = jnp.asarray(vals)[None, None]                 # (1, 1, 1, 8)
+        s = jnp.max(jnp.abs(x), -1) / 7.0
+        data = jnp.clip(jnp.round(x / s[..., None]), -7, 7).astype(jnp.int32)
+        n = data & 0xF
+        packed = (n[..., 0::2] | (n[..., 1::2] << 4)).astype(jnp.uint8)
+        b32 = packed.astype(jnp.int32)
+        lo = ((b32 & 0xF) ^ 8) - 8
+        hi = ((b32 >> 4) ^ 8) - 8
+        full = jnp.stack([lo, hi], -1).reshape(x.shape)
+        np.testing.assert_array_equal(
+            np.asarray(full * s[..., None]).reshape(vals.shape), vals)
+
+    def test_prefill_and_decode_logits_close(self, qat_setup):
+        """int4-cache logits track the f32-cache logits within 4-bit
+        tolerance (per-row rel err ~2^-4, a few steps of amplification
+        through the two dots and the MLP)."""
+        model, variables, tokens, qc = qat_setup
+        t0 = 6
+        want, _ = _decode_logits(model, variables, tokens, t0)
+        last, cache, idx = prefill(model, variables, tokens[:, :t0],
+                                   cache_dtype=jnp.int4)
+        step = jax.jit(lambda v, tok, cache, idx: model.apply(
+            v, tok, cache=cache, cache_index=idx))
+        for t in range(t0, tokens.shape[1]):
+            logits, cache = step(variables, tokens[:, t:t + 1], cache, idx)
+            w = np.asarray(want[:, t - t0])
+            g = np.asarray(logits[:, 0])
+            scale = max(1.0, float(np.abs(w).max()))
+            assert np.abs(g - w).max() < 0.35 * scale, t
+            idx = idx + 1
+
+    def test_engine_int4_cache_exact_vs_lockstep(self, qat_setup):
+        """Staggered continuous batching over the int4 cache equals a
+        lockstep int4-cache decode exactly (quantize-on-write and the
+        register unpack are deterministic)."""
+        from jaxlsq.serve.decode import DecodeEngine
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = qat_setup
+        variables = disable_observer(variables)
+
+        def lockstep(prompt, n_new):
+            last, cache, idx = prefill(model, variables, prompt[None, :],
+                                       cache_dtype=jnp.int4)
+            tok = jnp.argmax(last, -1).astype(jnp.int32)
+            toks = [int(tok[0])]
+            step = jax.jit(lambda v, t, c, i: model.apply(
+                v, t, cache=c, cache_index=i))
+            for _ in range(n_new - 1):
+                logits, cache = step(variables, tok[:, None], cache, idx)
+                tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                toks.append(int(tok[0]))
+                idx = idx + 1
+            return np.asarray(toks, np.int32)
+
+        r = np.random.RandomState(75)
+        reqs = [(r.randint(0, VOCAB, size=r.randint(2, 7)),
+                 int(r.randint(2, 5))) for _ in range(4)]
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4, 8),
+                          cache_dtype=jnp.int4) as eng:
+            futs = [eng.submit(p, n) for p, n in reqs]
+            outs = [f.result(timeout=600) for f in futs]
+        for (p, n), got in zip(reqs, outs):
+            np.testing.assert_array_equal(got, lockstep(jnp.asarray(p), n))
+
+    def test_generate_runs_int4(self, qat_setup):
+        model, variables, tokens, qc = qat_setup
+        gen4 = make_generate(model, 6, 8, cache_dtype=jnp.int4)
+        out4 = np.asarray(gen4(variables, tokens[:, :6]))
+        assert out4.shape == (2, 8)
+        assert ((out4 >= 0) & (out4 < VOCAB)).all()
+
+    def test_odd_head_dim_rejected(self, qat_setup):
+        model, variables, tokens, qc = qat_setup
+        odd = QuantTransformerLM(vocab=VOCAB, dim=12, depth=1, num_heads=4,
+                                 qconfig=qc, max_len=8)  # head_dim = 3
+        with pytest.raises(ValueError, match="even head_dim"):
+            init_kv_cache(odd, 1, dtype=jnp.int4)
+
+
 class TestChunkedPrefill:
     """Non-blocking chunked admission (VERDICT r2 next-#4): prefill advances
     one chunk per dispatcher iteration, interleaved with decode steps, so a
@@ -918,6 +1018,118 @@ class TestChunkedPrefill:
         for (p, n), got in zip(reqs, outs):
             np.testing.assert_array_equal(got, self._lockstep(
                 model, variables, p, n))
+
+
+class TestPrefixCache:
+    """Prefix caching: a shared prompt prefix is prefilled ONCE
+    (register_prefix) and each request's admission starts from a copy of
+    that cache, prefilling only the suffix at offset positions.  Results
+    must be bit-exact vs submitting the full concatenated prompt (same
+    programs, same positions — the chunked-prefill exactness argument)."""
+
+    @pytest.fixture(scope="class")
+    def frozen(self, qat_setup):
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = qat_setup
+        return model, disable_observer(variables), tokens, qc
+
+    _lockstep = TestChunkedPrefill._lockstep
+
+    def test_prefix_admission_exact_and_reusable(self, frozen):
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        r = np.random.RandomState(91)
+        pfx = r.randint(0, VOCAB, size=6)
+        suffixes = [r.randint(0, VOCAB, size=int(r.randint(2, 4)))
+                    for _ in range(4)]
+        plain = r.randint(0, VOCAB, size=5)  # non-prefix request, mid-flight
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4, 8), prefill_chunk=3) as eng:
+            h = eng.register_prefix(pfx)
+            futs = [eng.submit(s, 4, prefix=h) for s in suffixes[:2]]
+            fp = eng.submit(plain, 4)
+            time.sleep(0.05)
+            # the handle stays valid after earlier admissions consumed
+            # (copied) it — donation must not eat the registered cache
+            futs += [eng.submit(s, 4, prefix=h) for s in suffixes[2:]]
+            outs = [f.result(timeout=600) for f in futs]
+            out_p = fp.result(timeout=600)
+            assert eng.stats["prefix_tokens_reused"] == 6 * len(suffixes)
+        for s, got in zip(suffixes, outs):
+            want = self._lockstep(model, variables,
+                                  np.concatenate([pfx, s]), 4)
+            np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            out_p, self._lockstep(model, variables, plain, 4))
+
+    def test_prefix_longer_than_largest_bucket(self, frozen):
+        """The prefix may exceed the admission buckets (system-prompt
+        shape) — only prefix + suffix + n_new <= max_len binds."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        r = np.random.RandomState(92)
+        pfx = r.randint(0, VOCAB, size=8)      # > largest bucket (4)
+        sfx = r.randint(0, VOCAB, size=3)
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4,), prefill_chunk=2) as eng:
+            h = eng.register_prefix(pfx)
+            got = eng.submit(sfx, 3, prefix=h).result(timeout=600)
+        want = self._lockstep(model, variables, np.concatenate([pfx, sfx]), 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_speculative_engine_prefix_exact(self, frozen):
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = frozen
+        draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=MAXLEN)
+        dvars = disable_observer(draft.init(jax.random.key(41),
+                                            tokens[:1, :4], training=False))
+        r = np.random.RandomState(93)
+        pfx = r.randint(0, VOCAB, size=5)
+        suffixes = [r.randint(0, VOCAB, size=int(r.randint(2, 4)))
+                    for _ in range(3)]
+        with SpeculativeDecodeEngine(model, draft, variables, dvars,
+                                     max_batch=2, prompt_buckets=(4, 8),
+                                     k=2, prefill_chunk=3) as eng:
+            h = eng.register_prefix(pfx)
+            futs = [eng.submit(s, 3, prefix=h) for s in suffixes]
+            outs = [f.result(timeout=600) for f in futs]
+        for s, got in zip(suffixes, outs):
+            want = self._lockstep(model, variables,
+                                  np.concatenate([pfx, s]), 3)
+            np.testing.assert_array_equal(got, want)
+
+    def test_prefix_validation(self, frozen):
+        from jaxlsq.serve.decode import DecodeEngine, SpeculativeDecodeEngine
+        from jaxlsq.models.toggles import disable_observer
+
+        model, variables, tokens, qc = frozen
+        draft = QuantTransformerLM(vocab=VOCAB, dim=16, depth=1, num_heads=2,
+                                   qconfig=qc, max_len=MAXLEN)
+        dvars = disable_observer(draft.init(jax.random.key(42),
+                                            tokens[:1, :4], training=False))
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4,)) as eng:
+            with pytest.raises(ValueError, match="non-empty"):
+                eng.register_prefix(np.zeros((0,), np.int32))
+            with pytest.raises(ValueError, match="max_len"):
+                eng.register_prefix(np.zeros(MAXLEN, np.int32))
+            h = eng.register_prefix(np.zeros(10, np.int32))
+            with pytest.raises(ValueError, match="max_len"):
+                eng.submit(np.zeros(3, np.int32), 8, prefix=h)  # 10+3+8 > 16
+            with pytest.raises(ValueError, match="register_prefix"):
+                eng.submit(np.zeros(2, np.int32), 2, prefix="nope")
+            with SpeculativeDecodeEngine(model, draft, variables, dvars,
+                                         max_batch=2, prompt_buckets=(4,),
+                                         k=2) as seng:
+                # a single-model prefix is rejected by the two-model engine
+                with pytest.raises(ValueError, match="register_prefix"):
+                    seng.submit(np.zeros(2, np.int32), 2, prefix=h)
 
 
 class TestBeamSearch:
