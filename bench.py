@@ -197,8 +197,9 @@ def bench_decode():
             legs.append(("int4", sm4, sv4, jnp.bfloat16))
         if B == 8:  # int8 KV cache: at B=8 the cache stream rivals the
             # weight stream the int8 path shrank — record whether halving it
-            # (vs bf16) pays (VERDICT r2 next-#3)
+            # (vs bf16) pays (VERDICT r2 next-#3); int4 halves it again
             legs.append(("int8kv", sm, sv, jnp.int8))
+            legs.append(("int4kv", sm, sv, jnp.int4))
         for name, mdl, var, cdt in legs:
             g1 = make_generate(mdl, T0, N1, cache_dtype=cdt)
             g2 = make_generate(mdl, T0, N2, cache_dtype=cdt)
@@ -223,6 +224,11 @@ def bench_decode():
                 B / runs["int8kv"], 1)
             out[f"decode_speedup_b{B}_int8kv_vs_bf16kv"] = round(
                 runs["int8"] / runs["int8kv"], 2)
+        if "int4kv" in runs:
+            out[f"decode_tokens_per_s_b{B}_int4kv"] = round(
+                B / runs["int4kv"], 1)
+            out[f"decode_speedup_b{B}_int4kv_vs_bf16kv"] = round(
+                runs["int8"] / runs["int4kv"], 2)
     out["decode_shape"] = (f"LM d{DIM} depth{DEPTH} vocab{VOCAB} "
                            f"prompt{T0}, greedy scan decode, bf16 KV cache")
     return out
