@@ -110,7 +110,9 @@ def default_qconfig(
     activations over ``init_batches``.
 
     ``act_observer``: 'minmax' (reference-recommended MovingAverageMinMax,
-    README.md:109-110) or 'mse' (MSE-minimizing range search)."""
+    README.md:109-110), 'mse' (MSE-minimizing range search), or 'histogram'
+    (torch.ao's default static-quant observer: running histogram +
+    NormMinimization range search)."""
     wq = LSQQuantizer(
         spec=QuantSpec.weight_default(
             weight_bits, per_channel=per_channel_weights, axis=0,
@@ -126,6 +128,10 @@ def default_qconfig(
 
         obs = MSEObserver(spec=aspec, per_channel=aspec.per_channel,
                           axis=aspec.axis)
+    elif act_observer == "histogram":
+        from ..observers import HistogramObserver
+
+        obs = HistogramObserver()
     elif act_observer != "minmax":
         raise ValueError(f"unknown act_observer {act_observer!r}")
     aq = LSQQuantizer(

@@ -162,3 +162,24 @@ def test_drives_lsq_quantizer_window():
     # window closed: observer off, scale moved off its init value
     assert not bool(state.observer_enabled)
     assert float(state.scale[0]) != 1.0
+
+
+def test_qconfig_histogram_trains_mlp():
+    """default_qconfig(act_observer='histogram') drives a QAT train step:
+    the histogram update + search run under jit inside the init window and
+    the window closes into full LSQ."""
+    import optax
+
+    from jaxlsq.models import QuantMLP, default_qconfig
+    from jaxlsq.parallel import create_train_state, make_train_step
+
+    qc = default_qconfig(8, 8, init_batches=2, act_observer="histogram")
+    model = QuantMLP(features=(16, 4), qconfig=qc)
+    r = np.random.RandomState(21)
+    x = jnp.asarray(r.randn(8, 12).astype(np.float32))
+    y = jnp.asarray(r.randint(0, 4, size=(8,)))
+    state = create_train_state(model, optax.sgd(1e-2), x)
+    step = make_train_step(model, optax.sgd(1e-2))
+    for _ in range(4):
+        state, metrics = step(state, {"input": x, "label": y})
+    assert np.isfinite(float(metrics["loss"]))
