@@ -17,6 +17,8 @@ from .decode import (DecodeEngine, Prefix, SpeculativeDecodeEngine,
                      make_generate, make_sampler, make_speculative_generate,
                      prefill)
 from .engine import ServingEngine
+from .export import (export_generate, export_serving_forward, load_exported,
+                     load_exported_file, save_exported_file)
 from .matmul import (dynamic_int8_matmul, static_int8_conv,
                      static_int8_matmul, wo_matmul)
 from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
@@ -31,4 +33,6 @@ __all__ = [
     "wo_matmul",
     "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",
     "unpack_int4",
+    "export_serving_forward", "export_generate", "load_exported",
+    "save_exported_file", "load_exported_file",
 ]
