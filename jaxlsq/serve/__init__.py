@@ -22,6 +22,7 @@ from .export import (export_generate, export_serving_forward, load_exported,
 from .matmul import (dynamic_int8_matmul, static_int8_conv,
                      static_int8_matmul, wo_matmul)
 from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
+                   quantize_weight_grouped,
                    unpack_int4)
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "dynamic_int8_matmul", "static_int8_conv", "static_int8_matmul",
     "wo_matmul",
     "PackedWeight", "dequantize_weight", "pack_int4", "quantize_weight",
+    "quantize_weight_grouped",
     "unpack_int4",
     "export_serving_forward", "export_generate", "load_exported",
     "save_exported_file", "load_exported_file",

@@ -64,7 +64,8 @@ def _weight_axis_for(kernel: jnp.ndarray) -> int:
     return kernel.ndim - 1
 
 
-def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
+def convert(variables: Dict[str, Any], qconfig, *,
+            weight_group_size: int = None) -> Dict[str, Any]:
     """Convert trained QAT variables into serving variables.
 
     Args:
@@ -72,6 +73,13 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
         'qparams' (plus anything else, e.g. 'batch_stats', passed through).
       qconfig: the QConfig the model was trained with (supplies the weight /
         activation QuantSpecs; per-channel axis is re-derived per kernel).
+      weight_group_size: opt-in GROUP-WISE 4-bit weight serving
+        (pack.quantize_weight_grouped — one symmetric abs-max scale per
+        (K-group, channel), the AWQ/GPTQ-style accuracy fix for W4).
+        Applied to every 2-D dense kernel whose serving carrier is int4 and
+        whose K divides by it; everything else (convs, embeddings, MoE
+        stacks, non-dividing K, int8 carriers) keeps the reference
+        per-channel fold from the LEARNED qparams.
 
     Returns a variables dict for the SAME model applied with
     ``qconfig.for_serving(...)``: packed kernels live in a 'quantized'
@@ -98,8 +106,16 @@ def convert(variables: Dict[str, Any], qconfig) -> Dict[str, Any]:
             wqp = q_tree["weight_fq"]["qp"]
             # embedding: int4 nibble packing would break the row gather
             bits = 8 if wname == "embedding" else serving_bits(wspec)
-            packed = quantize_weight(
-                kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
+            if (weight_group_size is not None and bits == 4
+                    and wname == "kernel" and kernel.ndim == 2
+                    and kernel.shape[0] % weight_group_size == 0):
+                from .pack import quantize_weight_grouped
+
+                packed = quantize_weight_grouped(
+                    kernel, group_size=weight_group_size, bits=4)
+            else:
+                packed = quantize_weight(
+                    kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
             quantized: Dict[str, Any] = {wname: packed}
             if "act_fq" in q_tree and qconfig.activation is not None:
                 ascale, azp = _act_qparams(q_tree["act_fq"]["qp"],
@@ -158,13 +174,17 @@ def shard_packed(packed: PackedWeight, mesh: Mesh,
     spec = [None] * ndim
     spec[-1] = axis_name  # N is last for both dense (K,N) and conv HWIO
     data = jax.device_put(packed.data, NamedSharding(mesh, P(*spec)))
-    if packed.scale.shape[0] == n:  # per-channel qparams ride with N
-        qsh = NamedSharding(mesh, P(axis_name))
-    else:
+    if packed.scale.ndim == 2 and packed.scale.shape[1] == n:
+        # group-wise scales (G, N): the N axis rides with the data
+        ssh = NamedSharding(mesh, P(None, axis_name))
         qsh = NamedSharding(mesh, P())
+    elif packed.scale.shape[0] == n:  # per-channel qparams ride with N
+        ssh = qsh = NamedSharding(mesh, P(axis_name))
+    else:
+        ssh = qsh = NamedSharding(mesh, P())
     return packed.replace(
         data=data,
-        scale=jax.device_put(packed.scale, qsh),
+        scale=jax.device_put(packed.scale, ssh),
         zero_point=jax.device_put(packed.zero_point, qsh))
 
 

@@ -51,10 +51,12 @@ def _register_serializations():
         jexport.register_pytree_node_serialization(
             PackedWeight,
             serialized_name="jaxlsq.serve.pack.PackedWeight",
+            # aux = (bits, axis, k_axis, orig_shape, group_size)
             serialize_auxdata=lambda aux: json.dumps(
-                [aux[0], aux[1], aux[2], list(aux[3])]).encode("utf-8"),
+                [aux[0], aux[1], aux[2], list(aux[3]), aux[4]]
+            ).encode("utf-8"),
             deserialize_auxdata=lambda b: (
-                lambda v: (v[0], v[1], v[2], tuple(v[3])))(
+                lambda v: (v[0], v[1], v[2], tuple(v[3]), v[4]))(
                 json.loads(bytes(b).decode("utf-8"))),
         )
     except ValueError:

@@ -140,6 +140,46 @@ def _wo4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
                     * s_ref[:]).astype(o_ref.dtype)
 
 
+def _wo4g_kernel(xlo_ref, xhi_ref, p_ref, slo_ref, shi_ref, o_ref, acc_ref,
+                 *, nk: int, precision=None):
+    """Group-wise int4 variant (quantize_weight_grouped): the step size
+    varies ALONG K, so the per-channel epilogue trick no longer applies —
+    each k-step's partial dot is scaled by its own (1, bn) group row before
+    accumulation (one extra VPU multiply per dot; weights are symmetric, so
+    no zp/rowsum machinery).  The two nibble k-tiles of a packed byte tile
+    belong to different groups (split-half layout) and get separate rows."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pi = p_ref[:].astype(jnp.int32)
+    hi = (pi >> 4).astype(jnp.float32)
+    lo = ((pi << 28) >> 28).astype(jnp.float32)
+    acc_ref[:] += jax.lax.dot(
+        xlo_ref[:].astype(jnp.float32), lo,
+        preferred_element_type=jnp.float32, precision=precision) * slo_ref[:]
+    acc_ref[:] += jax.lax.dot(
+        xhi_ref[:].astype(jnp.float32), hi,
+        preferred_element_type=jnp.float32, precision=precision) * shi_ref[:]
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _grouped_pallas_ok(p: PackedWeight) -> bool:
+    """The fused grouped kernel needs: int4 carrier, lane-aligned k blocks
+    (group_size % 128 == 0) and group boundaries aligned with the split-half
+    layout ((K/2) % group_size == 0).  Everything else serves via XLA."""
+    if p.group_size is None or p.bits != 4:
+        return False
+    kdim = p.orig_shape[0]
+    return (p.group_size % 128 == 0 and kdim % 2 == 0
+            and (kdim // 2) % p.group_size == 0)
+
+
 def _pad_to(x: jnp.ndarray, mult0: int, mult1: int) -> jnp.ndarray:
     p0 = _cdiv(x.shape[0], mult0) * mult0 - x.shape[0]
     p1 = _cdiv(x.shape[1], mult1) * mult1 - x.shape[1]
@@ -199,7 +239,8 @@ def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
     mp = xp.shape[0]
     grid_m, grid_n = _cdiv(mp, bm), _cdiv(_cdiv(n, bn) * bn, bn)
     n_pad = grid_n * bn
-    s2, z2 = _qparams_rows(p, n_pad)
+    if p.group_size is None:  # grouped scales are (G, N), not qparam rows
+        s2, z2 = _qparams_rows(p, n_pad)
 
     if p.bits == 8:
         wp = _pad_to(p.data, bk, bn)          # (K_pad, N_pad) int8
@@ -227,6 +268,10 @@ def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
 
     # int4: packed data is (K/2, N); each packed k-tile consumes two x k-tiles
     # (logical k and k + K/2 — the split-half layout).
+    if p.group_size is not None:
+        # group-aligned k blocks (group_size % bk == 0; checked by
+        # _grouped_pallas_ok that group_size % 128 == 0)
+        bk = next(c for c in (512, 256, 128) if p.group_size % c == 0)
     k2 = p.data.shape[0]
     if xp.shape[1] < 2 * k2:
         xp = jnp.pad(xp, ((0, 0), (0, 2 * k2 - xp.shape[1])))
@@ -238,6 +283,33 @@ def _wo_matmul_pallas(x2d, p: PackedWeight, out_dtype, bm, bn, bk, interpret,
     else:
         xlo, xhi = xp[:, :k2], xp[:, k2:2 * k2]
     nk = k2p // bk
+
+    if p.group_size is not None:
+        r = p.group_size // bk
+        gofs = (kdim // 2) // p.group_size
+        gmax = gofs + (nk - 1) // r + 1
+        sg = p.scale.astype(jnp.float32)  # (G, N)
+        sgp = jnp.pad(sg, ((0, max(0, gmax - sg.shape[0])),
+                           (0, n_pad - n)), constant_values=1.0)
+        out = pl.pallas_call(
+            functools.partial(_wo4g_kernel, nk=nk, precision=precision),
+            out_shape=jax.ShapeDtypeStruct((mp, n_pad), out_dtype),
+            grid=(grid_m, grid_n, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+                pl.BlockSpec((1, bn), lambda i, j, k: (k // r, j)),
+                pl.BlockSpec((1, bn),
+                             lambda i, j, k: (gofs + k // r, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(xlo, xhi, wp, sgp, sgp)
+        return out[:m, :n]
     out = pl.pallas_call(
         functools.partial(_wo4_kernel, nk=nk, precision=precision),
         out_shape=jax.ShapeDtypeStruct((mp, n_pad), out_dtype),
@@ -307,10 +379,19 @@ def wo_matmul(x: jnp.ndarray, packed: PackedWeight, *,
         # f32 weights amortize across all M rows.
         if (jax.default_backend() == "tpu"
                 and x2d.shape[0] <= max(block_m, 256)
+                and (packed.group_size is None
+                     or _grouped_pallas_ok(packed))
                 and not _is_cross_device_sharded(packed.data)):
             impl = "pallas"
         else:
             impl = "xla"
+    if (impl == "pallas" and packed.group_size is not None
+            and not _grouped_pallas_ok(packed)):
+        raise ValueError(
+            "the fused grouped kernel needs an int4 carrier with "
+            "group_size % 128 == 0 and (K/2) % group_size == 0; "
+            f"got bits={packed.bits}, group_size={packed.group_size}, "
+            f"K={packed.orig_shape[0]} — use impl='xla'")
     if impl == "xla":
         w = dequantize_weight(packed, jnp.float32)
         out = jnp.matmul(x2d.astype(jnp.float32), w,

@@ -36,8 +36,8 @@ from flax import struct
 from ..core.golden import broadcast_qparams, clamp_scale
 from ..core.spec import QuantSpec
 
-__all__ = ["PackedWeight", "quantize_weight", "dequantize_weight",
-           "pack_int4", "unpack_int4"]
+__all__ = ["PackedWeight", "quantize_weight", "quantize_weight_grouped",
+           "dequantize_weight", "pack_int4", "unpack_int4"]
 
 
 class PackedWeight(struct.PyTreeNode):
@@ -60,6 +60,9 @@ class PackedWeight(struct.PyTreeNode):
     axis: int = struct.field(pytree_node=False, default=1)
     k_axis: int = struct.field(pytree_node=False, default=0)
     orig_shape: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    # group-wise scales (quantize_weight_grouped): scale is (K/group_size, N)
+    # — one symmetric step size per (K-group, output channel); zero_point ≡ 0
+    group_size: Optional[int] = struct.field(pytree_node=False, default=None)
 
 
 def pack_int4(q: jnp.ndarray, k_axis: int) -> jnp.ndarray:
@@ -137,6 +140,53 @@ def quantize_weight(w: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
                         axis=spec.axis, k_axis=k_axis, orig_shape=w.shape)
 
 
+def quantize_weight_grouped(w: jnp.ndarray, *, group_size: int,
+                            bits: int = 4) -> PackedWeight:
+    """Group-wise symmetric weight quantization for the serving path.
+
+    The per-channel step the reference's convert seam produces (one scale per
+    output channel, observers.py:403-422) is the accuracy bottleneck of 4-bit
+    serving: one outlier anywhere in a channel's K inputs inflates that whole
+    channel's step.  The standard production fix (AWQ/GPTQ-style W4 serving)
+    is finer granularity along the CONTRACTION axis: one abs-max-derived
+    symmetric scale per (K-group, channel)::
+
+        s[g, n] = max_{k in group g} |w[k, n]| / (2^(bits-1) - 1)
+        q[k, n] = round(w[k, n] / s[k // group_size, n])      # in [-7, 7]
+
+    This is a CONVERT-TIME re-quantization from the float weights (the
+    learned LSQ scale is per-channel and is superseded; per-channel equals
+    ``group_size == K``).  Finer groups monotonically improve weight
+    reconstruction — pinned in tests/test_groupwise.py.
+
+    Only the dense (K, N) layout groups (the LLM serving case); zero_point
+    is identically 0 (symmetric).  Consumed by ``wo_matmul`` — the Pallas
+    int4 kernel applies the (1, bn) group-scale row per K-step, the XLA path
+    dequantizes via the repeat in :func:`dequantize_weight`.
+    """
+    if w.ndim != 2:
+        raise ValueError("grouped quantization needs a 2-D (K, N) weight; "
+                         f"got shape {w.shape}")
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    K, N = w.shape
+    if group_size < 1 or K % group_size:
+        raise ValueError(
+            f"group_size {group_size} must divide the contraction dim {K}")
+    qmax = float(2 ** (bits - 1) - 1)  # 7 or 127, symmetric ±qmax
+    wf = w.astype(jnp.float32)
+    gshape = (K // group_size, group_size, N)
+    s = jnp.max(jnp.abs(wf.reshape(gshape)), axis=1) / qmax    # (G, N)
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).eps)
+    q = jnp.round(jnp.clip(wf / jnp.repeat(s, group_size, axis=0),
+                           -qmax, qmax)).astype(jnp.int8)
+    data = pack_int4(q, 0) if bits == 4 else q
+    return PackedWeight(data=data, scale=s,
+                        zero_point=jnp.zeros((1,), jnp.int32), bits=bits,
+                        axis=1, k_axis=0, orig_shape=w.shape,
+                        group_size=int(group_size))
+
+
 def dequantize_weight(p: PackedWeight, dtype=jnp.float32) -> jnp.ndarray:
     """Reference dequant: ``(w_q - zp) * s`` (lsq_kernel.h:12-13).  The XLA
     serving fallback and the oracle for the fused Pallas epilogue."""
@@ -144,6 +194,9 @@ def dequantize_weight(p: PackedWeight, dtype=jnp.float32) -> jnp.ndarray:
     if p.orig_shape and q.shape[p.k_axis] != p.orig_shape[p.k_axis]:
         # odd-K zero pad from pack_int4 — slice back to the logical size
         q = jax.lax.slice_in_dim(q, 0, p.orig_shape[p.k_axis], axis=p.k_axis)
+    if p.group_size is not None:  # (G, N) → (K, N), symmetric (zp ≡ 0)
+        s = jnp.repeat(p.scale, p.group_size, axis=0)
+        return (q.astype(jnp.float32) * s).astype(dtype)
     ndim = len(p.orig_shape)
     per_channel = p.scale.shape[0] > 1 or p.scale.shape[0] == p.orig_shape[p.axis]
     if per_channel and p.scale.shape[0] == p.orig_shape[p.axis]:
