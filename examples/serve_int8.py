@@ -1,6 +1,8 @@
 """Serving example: convert a QAT transformer LM to INT8, shard it
 tensor-parallel over the mesh 'model' axis, and serve greedy decodes through
-the continuous-batching engine.
+the continuous-batching engine — then demonstrate prefix caching (a shared
+system prompt prefilled once) and the AOT deployment artifact
+(jax.export StableHLO of the whole generate loop).
 
   python examples/serve_int8.py --requests 32
 """
@@ -74,6 +76,31 @@ def main():
     print(f"generated {len(gens)} continuations of 16 tokens "
           f"({deng.stats['steps']} decode steps, slot utilization {util:.0%})")
     print("tokens[0] =", gens[0])
+
+    # Prefix caching: a shared system prompt is prefilled ONCE; each request
+    # admits from a copy of that cache and prefills only its own suffix.
+    system_prompt = r.randint(0, 256, size=12).astype(np.int32)
+    with DecodeEngine(gen_model, serve_vars, max_batch=4,
+                      prompt_buckets=(8,)) as peng:
+        h = peng.register_prefix(system_prompt)
+        pfuts = [peng.submit(r.randint(0, 256, size=4), n_new=8, prefix=h)
+                 for _ in range(4)]
+        pouts = [f.result(timeout=600) for f in pfuts]
+    print(f"prefix caching: {peng.stats['prefix_tokens_reused']} prompt "
+          f"tokens served from the shared prefill "
+          f"({len(pouts)} requests x {len(system_prompt)} prefix tokens)")
+
+    # AOT deployment artifact: the whole scan-fused greedy generate loop as
+    # a versioned StableHLO blob — weights remain call-time arguments.
+    from jaxlsq.serve import export_generate, load_exported
+
+    blob = export_generate(gen_model, serve_vars, prompt_len=8, n_new=8,
+                           batch_size=2)
+    runner = load_exported(blob)
+    prompts = jnp.asarray(r.randint(0, 256, size=(2, 8)), jnp.int32)
+    toks = runner(serve_vars, prompts)
+    print(f"AOT artifact: {len(blob) / 1024:.0f} KiB StableHLO, "
+          f"decoded {toks.shape} tokens after round-trip")
 
 
 if __name__ == "__main__":
