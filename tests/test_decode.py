@@ -1256,6 +1256,26 @@ class TestGQA:
         np.testing.assert_allclose(np.asarray(dec), np.asarray(full[:, 4:]),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("cdt,tol", [(jnp.int8, 0.05), (jnp.int4, 0.35)])
+    def test_quantized_caches_track_f32_under_gqa(self, gqa, cdt, tol):
+        """The grouped (5-D) attention dots with quantized caches: per-row
+        scales (and the int4 register unpack) must compose with the
+        kvh < heads layout."""
+        model, variables, tokens = gqa
+        t0 = 6
+        want, _ = _decode_logits(model, variables, tokens, t0)
+        last, cache, idx = prefill(model, variables, tokens[:, :t0],
+                                   cache_dtype=cdt)
+        step = jax.jit(lambda v, tok, c, i: model.apply(
+            v, tok, cache=c, cache_index=i))
+        for t in range(t0, tokens.shape[1]):
+            logits, cache = step(variables, tokens[:, t:t + 1], cache, idx)
+            w = np.asarray(want[:, t - t0])
+            g = np.asarray(logits[:, 0])
+            scale = max(1.0, float(np.abs(w).max()))
+            assert np.abs(g - w).max() < tol * scale, (t, cdt)
+            idx = idx + 1
+
     def test_generate_and_engine(self, gqa):
         from jaxlsq.serve.decode import DecodeEngine
 
