@@ -215,14 +215,19 @@ class Prefix:
     shared prefix's attention work is paid once per handle, not once per
     request.  ``caches`` holds one slot-cache pytree per model driven by the
     engine (one for ``DecodeEngine``, (target, draft) for
-    ``SpeculativeDecodeEngine``)."""
+    ``SpeculativeDecodeEngine``).  A handle is bound to the engine that
+    built it (``owner``): two engines can hold DIFFERENT weights behind
+    identical cache layouts, so a shape check alone cannot catch a handle
+    crossing engines — re-register per engine instead."""
 
-    __slots__ = ("tokens", "length", "caches")
+    __slots__ = ("tokens", "length", "caches", "owner")
 
-    def __init__(self, tokens: np.ndarray, length: int, caches: tuple):
+    def __init__(self, tokens: np.ndarray, length: int, caches: tuple,
+                 owner=None):
         self.tokens = tokens
         self.length = length
         self.caches = caches
+        self.owner = owner
 
 
 class _PendingAdmit:
@@ -382,6 +387,40 @@ class DecodeEngine:
         return bucket if self.prefill_chunk is None else min(
             self.prefill_chunk, bucket)
 
+    def _padded_admit_len(self, size: int) -> int:
+        """Rows the chunked admission actually WRITES for a ``size``-token
+        prompt: the prompt padded up to whole chunks.  Writes are
+        dynamic_update_slices into a max_len cache — a slice reaching past
+        max_len gets its start CLAMPED, silently overwriting earlier rows —
+        so admission validity must bound base + this, not base + size."""
+        b = next(b for b in self.buckets if b >= size)
+        c = self._chunk_len(b)
+        return -(-size // c) * c
+
+    def _stage_prefix_tokens(self, tokens) -> tuple:
+        """Shared register_prefix staging: validate, pick a chunk length,
+        and pad to whole chunks — guaranteeing the padded writes fit below
+        max_len (a one-shot chunk of exactly the prefix length is used when
+        the bucket-derived chunking would pad past it; registration is
+        one-time, so the extra compile is fine)."""
+        tokens = np.asarray(tokens, np.int32)
+        if tokens.ndim != 1 or tokens.size == 0:
+            raise ValueError("prefix must be a non-empty 1-D token array")
+        if tokens.size >= self.max_len:
+            raise ValueError(
+                f"prefix length {tokens.size} must be < max_len "
+                f"{self.max_len} (no room left to decode)")
+        with self._lifecycle_lock:
+            if self._stop:
+                raise RuntimeError(f"{type(self).__name__} is closed")
+        c = self._chunk_len(self.buckets[-1])  # reuse a compiled chunk size
+        n_chunks = -(-tokens.size // c)
+        if n_chunks * c > self.max_len:
+            c, n_chunks = int(tokens.size), 1
+        padded = np.zeros((1, n_chunks * c), np.int32)
+        padded[0, : tokens.size] = tokens
+        return tokens, padded, c, n_chunks
+
     # ------------------------------------------------------------------ API
 
     def warmup(self):
@@ -427,21 +466,10 @@ class DecodeEngine:
         steps on the device queue exactly like admission chunks, so it is
         safe (and non-stalling) to register mid-serving.  The prefix can be
         LONGER than the largest prompt bucket (the usual system-prompt
-        shape); only ``prefix.length + suffix + n_new <= max_len`` binds."""
-        tokens = np.asarray(tokens, np.int32)
-        if tokens.ndim != 1 or tokens.size == 0:
-            raise ValueError("prefix must be a non-empty 1-D token array")
-        if tokens.size >= self.max_len:
-            raise ValueError(
-                f"prefix length {tokens.size} must be < max_len "
-                f"{self.max_len} (no room left to decode)")
-        with self._lifecycle_lock:
-            if self._stop:
-                raise RuntimeError("DecodeEngine is closed")
-        c = self._chunk_len(self.buckets[-1])  # reuse a compiled chunk size
-        n_chunks = -(-tokens.size // c)
-        padded = np.zeros((1, n_chunks * c), np.int32)
-        padded[0, : tokens.size] = tokens
+        shape); only ``prefix.length + suffix + n_new <= max_len`` binds.
+        The handle is bound to THIS engine (different engines may hold
+        different weights behind identical cache layouts)."""
+        tokens, padded, c, n_chunks = self._stage_prefix_tokens(tokens)
         sc = jax.tree.map(
             lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._cache)
         for i in range(n_chunks):
@@ -453,12 +481,17 @@ class DecodeEngine:
         # suffix admission overwrites from position `size` before any decode
         # step attends there (the standard overwrite-before-exposure
         # argument of chunked admission).
-        return Prefix(tokens, int(tokens.size), (sc,))
+        return Prefix(tokens, int(tokens.size), (sc,), owner=self)
 
     def _check_prefix(self, prefix, n_models: int):
         if not isinstance(prefix, Prefix) or len(prefix.caches) != n_models:
             raise ValueError("prefix must come from this engine kind's "
                              "register_prefix()")
+        if prefix.owner is not self:
+            # identical layouts can hide different WEIGHTS behind them
+            raise ValueError(
+                "prefix was registered on a different engine; call "
+                "register_prefix() on this one")
         templates = ([self._cache] if n_models == 1
                      else [self._tcache, self._dcache])
         for got, tmpl in zip(prefix.caches, templates):
@@ -490,6 +523,12 @@ class DecodeEngine:
             base = prefix.length
         if base + prompt.size + n_new > self.max_len:
             raise ValueError("prefix + prompt + n_new exceeds model.max_len")
+        if base + self._padded_admit_len(prompt.size) > self.max_len:
+            raise ValueError(
+                "the chunk-padded admission would write past max_len "
+                f"(prefix {base} + padded prompt "
+                f"{self._padded_admit_len(prompt.size)} > {self.max_len}); "
+                "lower prefill_chunk or the bucket, or shorten the prefix")
         req = _GenRequest(prompt, n_new, prefix=prefix)
         with self._lifecycle_lock:
             if self._stop:
@@ -1260,20 +1299,7 @@ class SpeculativeDecodeEngine:
     def register_prefix(self, tokens) -> Prefix:
         """Prefill a shared prompt prefix through BOTH models' private slot
         caches once; see ``DecodeEngine.register_prefix``."""
-        tokens = np.asarray(tokens, np.int32)
-        if tokens.ndim != 1 or tokens.size == 0:
-            raise ValueError("prefix must be a non-empty 1-D token array")
-        if tokens.size >= self.max_len:
-            raise ValueError(
-                f"prefix length {tokens.size} must be < max_len "
-                f"{self.max_len} (no room left to decode)")
-        with self._lifecycle_lock:
-            if self._stop:
-                raise RuntimeError("SpeculativeDecodeEngine is closed")
-        c = self._chunk_len(self.buckets[-1])
-        n_chunks = -(-tokens.size // c)
-        padded = np.zeros((1, n_chunks * c), np.int32)
-        padded[0, : tokens.size] = tokens
+        tokens, padded, c, n_chunks = self._stage_prefix_tokens(tokens)
         t_sc = jax.tree.map(
             lambda g: jnp.zeros((1,) + g.shape[1:], g.dtype), self._tcache)
         d_sc = jax.tree.map(
@@ -1284,7 +1310,7 @@ class SpeculativeDecodeEngine:
                 jnp.asarray(padded[:, i * c:(i + 1) * c]),
                 jnp.asarray(i * c, jnp.int32))
         jax.block_until_ready((t_sc, d_sc))
-        return Prefix(tokens, int(tokens.size), (t_sc, d_sc))
+        return Prefix(tokens, int(tokens.size), (t_sc, d_sc), owner=self)
 
     def submit(self, prompt, n_new: int, *, prefix: Optional[Prefix] = None
                ) -> Future:
@@ -1301,6 +1327,12 @@ class SpeculativeDecodeEngine:
         if base + prompt.size + n_new + self.k + 1 > self.max_len:
             raise ValueError("prefix + prompt + n_new + k + 1 exceeds "
                              "max_len (speculative verification headroom)")
+        if base + self._padded_admit_len(prompt.size) > self.max_len:
+            raise ValueError(
+                "the chunk-padded admission would write past max_len "
+                f"(prefix {base} + padded prompt "
+                f"{self._padded_admit_len(prompt.size)} > {self.max_len}); "
+                "lower prefill_chunk or the bucket, or shorten the prefix")
         req = _GenRequest(prompt, n_new, prefix=prefix)
         with self._lifecycle_lock:
             if self._stop:
@@ -1362,6 +1394,8 @@ class SpeculativeDecodeEngine:
     _chunk_len = DecodeEngine._chunk_len
     _finished = DecodeEngine._finished
     _check_prefix = DecodeEngine._check_prefix
+    _padded_admit_len = DecodeEngine._padded_admit_len
+    _stage_prefix_tokens = DecodeEngine._stage_prefix_tokens
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission (both

@@ -68,7 +68,8 @@ _register_serializations()
 
 def _shapes_of(tree):
     return jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+        lambda a: a if isinstance(a, jax.ShapeDtypeStruct)
+        else jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
         tree)
 
 
@@ -107,16 +108,7 @@ def export_generate(model, variables, prompt_len: int, n_new: int,
     gen = make_generate(model, prompt_len, n_new, cache_dtype=cache_dtype,
                         jit=False)
     prompts = jax.ShapeDtypeStruct((batch_size, prompt_len), jnp.int32)
-
-    def run(v, p):
-        return gen(v, p)
-
-    from jax import export as jexport
-
-    exp = jexport.export(jax.jit(run),
-                         platforms=tuple(platforms) if platforms else None)(
-        _shapes_of(variables), prompts)
-    return bytes(exp.serialize())
+    return _export(gen, (variables, prompts), platforms)
 
 
 def load_exported(blob: bytes):

@@ -1131,6 +1131,53 @@ class TestPrefixCache:
                 with pytest.raises(ValueError, match="register_prefix"):
                     seng.submit(np.zeros(2, np.int32), 2, prefix=h)
 
+    def test_cross_engine_handle_rejected(self, frozen):
+        """Identical cache layouts can hide different weights: a handle only
+        works on the engine that registered it."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(4,)) as a, \
+                DecodeEngine(model, variables, max_batch=2,
+                             prompt_buckets=(4,)) as b:
+            h = a.register_prefix(np.zeros(4, np.int32))
+            with pytest.raises(ValueError, match="different engine"):
+                b.submit(np.zeros(2, np.int32), 2, prefix=h)
+
+    def test_padded_admission_overflow_rejected(self, frozen):
+        """A suffix whose chunk-PADDED admission would write past max_len is
+        rejected up front: dynamic_update_slice clamps out-of-range starts,
+        which would silently overwrite real prefix rows (reproduced before
+        the fix: a 14-token prefix + 1-token suffix at prefill_chunk=3
+        passed the size check but wrote rows [13, 16) instead of [14, 17))."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        with DecodeEngine(model, variables, max_batch=2, prompt_buckets=(4,),
+                          prefill_chunk=3) as eng:
+            h = eng.register_prefix(np.zeros(14, np.int32))
+            with pytest.raises(ValueError, match="padded"):
+                eng.submit(np.zeros(1, np.int32), 1, prefix=h)  # 14+3 > 16
+
+    def test_register_prefix_padding_stays_below_max_len(self, frozen):
+        """register_prefix must not let ITS chunk padding write past
+        max_len either (reproduced before the fix: buckets=(8,), chunk=6,
+        13-token prefix padded to 18 > 16 clamped onto real rows).  The
+        staging falls back to a one-shot chunk and stays exact."""
+        from jaxlsq.serve.decode import DecodeEngine
+
+        model, variables, tokens, qc = frozen
+        r = np.random.RandomState(97)
+        pfx = r.randint(0, VOCAB, size=13)  # staged at c=6 would pad to 18
+        sfx = r.randint(0, VOCAB, size=2)   # admits via the 2-bucket (c=2)
+        with DecodeEngine(model, variables, max_batch=2,
+                          prompt_buckets=(2, 8), prefill_chunk=6) as eng:
+            h = eng.register_prefix(pfx)
+            got = eng.submit(sfx, 1, prefix=h).result(timeout=600)
+        want = self._lockstep(model, variables, np.concatenate([pfx, sfx]), 1)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestBeamSearch:
     """Beam-search decode: beams=1 degenerates to greedy; a wide-enough beam
