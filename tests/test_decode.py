@@ -1210,6 +1210,25 @@ class TestBeamSearch:
         np.testing.assert_array_equal(np.asarray(toks), greedy)
         assert np.all(np.isfinite(np.asarray(scores)))
 
+    @pytest.mark.parametrize("cdt", [jnp.int8, jnp.int4])
+    def test_beam1_equals_greedy_quantized_cache(self, qat_setup, cdt):
+        """Quantized-cache composition: the per-parent cache reindex
+        (tree-mapped take) must carry the (data, scale) tuple layouts; at
+        beams=1 it must reproduce the equally-quantized greedy decode
+        exactly."""
+        from jaxlsq.models.toggles import disable_observer
+        from jaxlsq.serve.decode import make_beam_search
+
+        model, variables, tokens, qc = qat_setup
+        variables = disable_observer(variables)
+        prompt = tokens[:, :6]
+        greedy = np.asarray(make_generate(model, 6, 8, cache_dtype=cdt)(
+            variables, prompt))
+        toks, scores = make_beam_search(model, 6, 8, beams=1,
+                                        cache_dtype=cdt)(variables, prompt)
+        np.testing.assert_array_equal(np.asarray(toks), greedy)
+        assert np.all(np.isfinite(np.asarray(scores)))
+
     def test_wide_beam_is_exhaustively_optimal(self, tiny):
         """vocab=4, n_new=3, beams=16: step 1 keeps all 4 prefixes, step 2
         all 16, step 3 ranks all 64 — the beam IS exhaustive search, so its
