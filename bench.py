@@ -229,8 +229,9 @@ def bench_decode():
                 B / runs["int4kv"], 1)
             out[f"decode_speedup_b{B}_int4kv_vs_bf16kv"] = round(
                 runs["int8"] / runs["int4kv"], 2)
-    out["decode_shape"] = (f"LM d{DIM} depth{DEPTH} vocab{VOCAB} "
-                           f"prompt{T0}, greedy scan decode, bf16 KV cache")
+    out["decode_shape"] = (
+        f"LM d{DIM} depth{DEPTH} vocab{VOCAB} prompt{T0}, greedy scan "
+        "decode; bf16 KV cache except the int8kv/int4kv legs")
     return out
 
 

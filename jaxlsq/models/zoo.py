@@ -328,6 +328,12 @@ class QuantTransformerBlock(nn.Module):
                 qpos = qpos[:, :, None]
                 kpos = kpos[:, :, None]
 
+            # NOTE: the g == 1 (MHA) and g > 1 (GQA) dot bodies are kept as
+            # separate einsums ON PURPOSE: the 4-D MHA form is the
+            # benchmarked decode hot path, and funneling it through the 5-D
+            # grouped form with g = 1 would hand XLA a different contraction
+            # to lower (and shift bit-exact decode parities).  Keep edits to
+            # the mask/softmax/scale sequence mirrored across the branches.
             if quantized:
                 int4 = ck[0].dtype == jnp.uint8  # nibble-packed layout
 

@@ -34,8 +34,16 @@ def moe_sharding(mesh: Mesh, tree: Any, num_experts: int,
     """
     def one(path, leaf):
         keys = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+        # Under 'params' (and its optimizer mirrors) the only stacked
+        # per-expert leaves are >= 2-D kernels (E, K, N) — the (N,) bias is
+        # SHARED, and a coincidental N == num_experts must not shard it one
+        # element per device.  Quantizer collections (qparams/quant_state)
+        # legitimately stack 1-D per-expert leaves (per-expert LSQ scale
+        # (E,), observer ranges (E,)), so there shape[0] == E suffices.
+        quantish = bool(keys & {"qparams", "quant_state"})
         stacked = (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                   and leaf.shape[0] == num_experts)
+                   and leaf.shape[0] == num_experts
+                   and (quantish or leaf.ndim >= 2))
         if stacked and keys & set(EXPERT_SCOPES):
             return NamedSharding(
                 mesh, P(axis, *([None] * (leaf.ndim - 1))))

@@ -382,6 +382,23 @@ def make_pipeline_train_step(
         new_qs = merged(quant_state,
                         {"tok_emb": e_qs, "lm_head": h_qs,
                          "blocks": lead(bqs)})
+        if D > 1:
+            # Observer-mutated state is data-shard-LOCAL (each replica's
+            # observers streamed only its own batch shard), but the step's
+            # out_shardings declare it replicated — without a reduction the
+            # replicas' buffers silently diverge.  pmean over 'data' makes
+            # them identical: counters/flags are equal on every replica
+            # (mean == identity; ints/bools skipped), and min/max/EMA
+            # ranges average — an approximation of the GSPMD DP step's
+            # global-batch observer stream that converges to the same
+            # ranges and keeps the state deterministic.
+            def _sync(a):
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    return jax.lax.pmean(a, "data")
+                return a
+
+            new_qp = jax.tree.map(_sync, new_qp)
+            new_qs = jax.tree.map(_sync, new_qs)
         return loss, grads, new_qp, new_qs
 
     def _specs(tree):

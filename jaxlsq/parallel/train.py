@@ -186,8 +186,13 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None):
-    """Eval forward (no state mutation persisted): (state, batch) → logits."""
+def make_eval_step(model, mesh: Optional[Mesh] = None, state_sharding=None):
+    """Eval forward (no state mutation persisted): (state, batch) → logits.
+
+    ``state_sharding``: the state's placement tree (e.g.
+    ``parallel.moe.moe_sharding`` for expert-parallel stacked weights) —
+    without it an EP state would be resharded to fully replicated,
+    all-gathering every expert stack per eval call."""
 
     def step(state: QATTrainState, batch):
         x = batch.get("input", batch.get("image"))
@@ -198,6 +203,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
 
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step, in_shardings=(replicated(mesh),
+    state_sh = replicated(mesh) if state_sharding is None else state_sharding
+    return jax.jit(step, in_shardings=(state_sh,
                                        NamedSharding(mesh, P("data"))),
                    out_shardings=NamedSharding(mesh, P("data")))

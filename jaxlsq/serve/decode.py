@@ -28,6 +28,8 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import warnings
+from collections import deque
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -204,6 +206,27 @@ class _GenRequest:
         self.prefix = prefix
 
 
+def _warn_moe_capacity(model):
+    """MoE engines route all co-batched slots' tokens TOGETHER, so a binding
+    expert capacity couples slots: request A's tokens then depend on which
+    requests happen to share its decode steps (models/moe.py decode-serving
+    note).  Warn when the model's capacity CAN bind so the nondeterminism is
+    explicit rather than silent."""
+    e = getattr(model, "moe_experts", 0) or 0
+    if not e:
+        return
+    k = getattr(model, "moe_top_k", 1) or 1
+    cf = getattr(model, "moe_capacity_factor", 0.0) or 0.0
+    if cf < e / k:
+        warnings.warn(
+            f"QuantMoE capacity can bind under batched decode "
+            f"(capacity_factor={cf} < num_experts/top_k={e}/{k}): capacity "
+            "drops couple co-batched requests, making generations depend on "
+            "batch composition. Serve with capacity_factor >= "
+            "num_experts/top_k for per-token-exact routing.",
+            stacklevel=3)
+
+
 class Prefix:
     """A prefilled, immutable KV prefix (e.g. a shared system prompt).
 
@@ -318,6 +341,7 @@ class DecodeEngine:
         is called as ``pick(logits, key)`` with per-step folded keys."""
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError("prefill_chunk must be >= 1 or None")
+        _warn_moe_capacity(model)
         self.model = model
         self.variables = variables
         self.max_batch = max_batch
@@ -377,9 +401,11 @@ class DecodeEngine:
         self._state_lock = threading.Lock()
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
+        # admission_interleave: decode steps each admission overlapped —
+        # bounded (long-running engines must not grow per-request state)
         self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
                       "active_token_sum": 0, "admission_chunks": 0,
-                      "admission_interleave": []}
+                      "admission_interleave": deque(maxlen=1024)}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -1143,6 +1169,8 @@ class SpeculativeDecodeEngine:
             raise ValueError("prefill_chunk must be >= 1 or None")
         if target.vocab != draft.vocab:
             raise ValueError("target and draft must share a vocab")
+        _warn_moe_capacity(target)
+        _warn_moe_capacity(draft)
         if k + 2 >= min(target.max_len, draft.max_len):
             # the parked position max_len - k - 2 must stay positive, or the
             # jnp.minimum(pos + len_e, park) clamp in _round would drag
@@ -1292,7 +1320,8 @@ class SpeculativeDecodeEngine:
         self._stop = False
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0,
-                      "admission_chunks": 0, "admission_interleave": []}
+                      "admission_chunks": 0,
+                      "admission_interleave": deque(maxlen=1024)}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 

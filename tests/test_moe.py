@@ -681,3 +681,45 @@ def test_route_invariants_fuzz():
         assert (rows <= 1 + 1e-5).all() and (rows >= -1e-6).all()
         if C >= N:  # nothing can drop
             np.testing.assert_allclose(rows, np.ones(N), rtol=1e-5)
+
+
+def test_moe_sharding_leaves_shared_bias_replicated():
+    """A SHARED 1-D leaf under an expert scope whose length coincidentally
+    equals num_experts (hidden == E makes the (N,) bias shape (E,)) must NOT
+    be sharded over the expert axis — only stacked (E, ...) leaves are."""
+    qc = default_qconfig(8, 8, init_batches=1)
+    m = QuantMoE(hidden=4, num_experts=4, qconfig=qc, top_k=2)
+    v = m.init(jax.random.key(0), jnp.ones((4, 4)), training=True)
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    emesh = Mesh(devs, axis_names=("data", "expert"))
+    sh = moe_sharding(emesh, v, num_experts=4)
+    bias_sh = sh["params"]["experts_up"]["bias"]
+    kern_sh = sh["params"]["experts_up"]["kernel"]
+    assert bias_sh.is_fully_replicated, bias_sh
+    assert not kern_sh.is_fully_replicated, kern_sh
+    # and the layout actually materializes (the old behavior device_put a
+    # (4,) bias one element per device)
+    placed = jax.device_put(v, sh)
+    jax.block_until_ready(placed)
+
+
+def test_engine_warns_on_binding_moe_capacity():
+    """Serving a QuantMoE LM whose capacity can bind couples co-batched
+    requests; the engines must surface that nondeterminism up front."""
+    import warnings as _w
+
+    from jaxlsq.models import QuantTransformerLM
+    from jaxlsq.serve.decode import DecodeEngine
+
+    qc = default_qconfig(8, 8, init_batches=1)
+    lm = QuantTransformerLM(vocab=32, dim=16, depth=1, num_heads=2,
+                            qconfig=qc, max_len=12, moe_experts=4,
+                            moe_top_k=1, moe_capacity_factor=1.25)  # < 4/1
+    toks = jnp.asarray(np.random.RandomState(0).randint(0, 32, (1, 6)))
+    v = lm.init(jax.random.key(0), toks, training=False)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        with DecodeEngine(lm, v, max_batch=2, prompt_buckets=(4,)):
+            pass
+    assert any("capacity can bind" in str(r.message) for r in rec), \
+        [str(r.message) for r in rec]

@@ -167,9 +167,9 @@ def test_observer_window_transition():
 
 def test_pipeline_with_data_parallelism():
     """(data=2, stage=2) mesh: with learnable-init quantizers pinned to the
-    global microbatch numel (no observer writes — shard-local observer
-    streams are the documented DP caveat), DP×PP grads == the data=1
-    pipeline."""
+    global microbatch numel (no observer writes, so gradient exactness is
+    isolated from the observer pmean-sync — that sync is pinned separately
+    below), DP×PP grads == the data=1 pipeline."""
     from jaxlsq.core.spec import QuantSpec
     from jaxlsq.models.qconfig import QConfig
     from jaxlsq.observers import LSQQuantizer
@@ -200,6 +200,42 @@ def test_pipeline_with_data_parallelism():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_dp_observer_state_replica_consistent():
+    """With observers ENABLED under (data=2, stage=2), the mutated
+    quantizer/observer state must come back replica-CONSISTENT: each data
+    replica's observers stream only their own batch shard, and the step
+    pmeans the float state over 'data' before returning (without it, the
+    out_shardings claim replication over silently divergent buffers)."""
+    qc = default_qconfig(8, 8, init_batches=3)  # observer window ACTIVE
+    model = _model(qc=qc)
+    tx = optax.sgd(1e-2)
+    mesh = pipeline_mesh(stage=2, data=2)
+    # batch halves must DIFFER so shard-local observers would diverge
+    toks = _tokens(8, seed=44)
+    state = create_pipeline_state(model, tx, mesh, _tokens(2))
+    step = make_pipeline_train_step(model, tx, mesh, num_microbatches=2,
+                                    donate=False)
+    state, metrics = step(state, {"input": toks, "label": toks})
+    assert np.isfinite(float(metrics["loss"]))
+
+    def check(path, leaf):
+        shards = getattr(leaf, "addressable_shards", None)
+        if not shards or leaf.ndim == 0:
+            return
+        names = [getattr(k, "key", None) for k in path]
+        if "blocks" in names:
+            return  # stage-sharded by design
+        first = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(
+                np.asarray(s.data), first,
+                err_msg="/".join(str(n) for n in names))
+
+    jax.tree_util.tree_map_with_path(
+        check, state.model_state.get("quant_state", {}))
+    jax.tree_util.tree_map_with_path(check, state.params.get("qparams", {}))
 
 
 def test_pipeline_state_feeds_plain_model_and_serving():
