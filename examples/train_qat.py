@@ -103,6 +103,14 @@ def main():
     print(format_report(quantizer_report(
         {**state.params, **state.model_state}), max_rows=8))
 
+    # Which layers pay the most for quantization?  (mixed-precision picker)
+    from jaxlsq.utils import format_sensitivity, sensitivity_report
+
+    sens_batch = next(iter(synthetic_batches(args.batch, 1)))
+    rep = sensitivity_report(model, {**state.params, **state.model_state},
+                             sens_batch)
+    print(format_sensitivity(rep))
+
     serve_vars = convert({**state.params, **state.model_state}, qc)
     serve_model = dataclasses.replace(model, qconfig=qc.for_serving("static"))
     x = jnp.zeros((8, 32, 32, 3), jnp.float32)
