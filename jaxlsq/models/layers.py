@@ -120,15 +120,16 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        if self.qconfig.mode == "serve":
+        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
+        if qc.mode == "serve":
             y = self._serve(x)
         else:
-            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            acfg = qc.activation_for_axis(x.ndim - 1)
             if acfg is not None:
                 x = FakeQuantize(acfg, name="act_fq")(x, training=training)
             kernel = self.param("kernel", self.kernel_init,
                                 (x.shape[-1], self.features))
-            wcfg = self.qconfig.weight_for_axis(1)
+            wcfg = qc.weight_for_axis(1)
             if wcfg is not None:
                 kernel = FakeQuantize(wcfg, name="weight_fq")(
                     kernel, training=training)
@@ -144,28 +145,29 @@ class QuantDense(nn.Module):
         from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
                                     wo_matmul)
 
-        wspec = self.qconfig.required_weight_for_axis(1).spec
+        qc = self.qconfig.resolve(self.path)
+        wspec = qc.required_weight_for_axis(1).spec
         kshape = (x.shape[-1], self.features)
         packed = self.variable("quantized", "kernel",
                                lambda: _dummy_packed(kshape, wspec, 1)).value
         ascale = azp = None
-        if self.qconfig.activation is not None:
-            c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+        if qc.activation is not None:
+            c = x.shape[-1] if qc.activation.spec.per_channel else 1
             ascale = self.variable("quantized", "act_scale",
                                    lambda: jnp.ones((c,), jnp.float32)).value
             azp = self.variable("quantized", "act_zp",
                                 lambda: jnp.zeros((c,), jnp.int32)).value
-            aspec = self.qconfig.activation.spec
-            if self.qconfig.act_mode == "static_int8":
+            aspec = qc.activation.spec
+            if qc.act_mode == "static_int8":
                 # true int8*int8 MXU path with the frozen act qparams
                 return static_int8_matmul(x, packed, ascale, azp,
                                           aspec.quant_min, aspec.quant_max)
-            if self.qconfig.act_mode == "static":
+            if qc.act_mode == "static":
                 x = _static_act_quant(x, ascale, azp, aspec)
-        if self.qconfig.act_mode == "dynamic":
+        if qc.act_mode == "dynamic":
             return dynamic_int8_matmul(x, packed)
-        return wo_matmul(x, packed, impl=self.qconfig.serve_impl,
-                         precision=self.qconfig.serve_precision)
+        return wo_matmul(x, packed, impl=qc.serve_impl,
+                         precision=qc.serve_precision)
 
 
 class QuantConv(nn.Module):
@@ -188,7 +190,8 @@ class QuantConv(nn.Module):
     def __call__(self, x, *, training: bool = False):
         kh, kw = self.kernel_size
         in_feat = x.shape[-1] // self.feature_group_count
-        if self.qconfig.mode == "serve":
+        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
+        if qc.mode == "serve":
             # Weight-only conv: int-packed kernel dequantized on the fly (the
             # HBM win is the 4-8x smaller weight stream).  act_mode
             # 'static_int8' instead runs the true int8*int8 integer conv
@@ -196,11 +199,11 @@ class QuantConv(nn.Module):
             from ..serve.matmul import static_int8_conv
             from ..serve.pack import dequantize_weight
 
-            if self.qconfig.act_mode == "dynamic":
+            if qc.act_mode == "dynamic":
                 raise ValueError(
                     "act_mode='dynamic' is not supported for conv layers; "
                     "use 'static' or 'none' for models containing QuantConv")
-            wspec = self.qconfig.required_weight_for_axis(3).spec
+            wspec = qc.required_weight_for_axis(3).spec
             kshape = (kh, kw, in_feat, self.features)
             packed = self.variable(
                 "quantized", "kernel",
@@ -208,14 +211,14 @@ class QuantConv(nn.Module):
             strides = ((self.strides, self.strides)
                        if isinstance(self.strides, int)
                        else tuple(self.strides))
-            if self.qconfig.activation is not None:
-                c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+            if qc.activation is not None:
+                c = x.shape[-1] if qc.activation.spec.per_channel else 1
                 ascale = self.variable("quantized", "act_scale",
                                        lambda: jnp.ones((c,), jnp.float32)).value
                 azp = self.variable("quantized", "act_zp",
                                     lambda: jnp.zeros((c,), jnp.int32)).value
-                aspec = self.qconfig.activation.spec
-                if (self.qconfig.act_mode == "static_int8"
+                aspec = qc.activation.spec
+                if (qc.act_mode == "static_int8"
                         and packed.bits == 8 and wspec.symmetric
                         and not aspec.per_channel):
                     y = static_int8_conv(
@@ -228,18 +231,18 @@ class QuantConv(nn.Module):
                                           (self.features,))
                         y = y + bias
                     return y.astype(self.dtype or x.dtype)
-                if self.qconfig.act_mode in ("static", "static_int8"):
+                if qc.act_mode in ("static", "static_int8"):
                     # float-simulated fallback (per-channel act qparams,
                     # affine or int4 weights)
                     x = _static_act_quant(x, ascale, azp, aspec)
             kernel = dequantize_weight(packed, x.dtype)
         else:
-            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            acfg = qc.activation_for_axis(x.ndim - 1)
             if acfg is not None:
                 x = FakeQuantize(acfg, name="act_fq")(x, training=training)
             kernel = self.param("kernel", self.kernel_init,
                                 (kh, kw, in_feat, self.features))
-            wcfg = self.qconfig.weight_for_axis(3)
+            wcfg = qc.weight_for_axis(3)
             if wcfg is not None:
                 kernel = FakeQuantize(wcfg, name="weight_fq")(
                     kernel, training=training)
@@ -278,8 +281,9 @@ class QuantEmbed(nn.Module):
     @nn.compact
     def __call__(self, tokens, *, training: bool = False):
         kshape = (self.num_embeddings, self.features)
-        if self.qconfig.mode == "serve":
-            wspec = self.qconfig.required_weight_for_axis(0).spec
+        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
+        if qc.mode == "serve":
+            wspec = qc.required_weight_for_axis(0).spec
             # int8 always: int4 nibble packing would break row gathers
             packed = self.variable(
                 "quantized", "embedding",
@@ -293,7 +297,7 @@ class QuantEmbed(nn.Module):
                 s, z = packed.scale, packed.zero_point
             return ((rows - z.astype(jnp.float32)) * s).astype(self.dtype)
         table = self.param("embedding", self.embedding_init, kshape)
-        wcfg = self.qconfig.weight_for_axis(0)
+        wcfg = qc.weight_for_axis(0)
         if wcfg is not None:
             table = FakeQuantize(wcfg, name="weight_fq")(
                 table, training=training)

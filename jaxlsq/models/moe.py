@@ -121,15 +121,16 @@ class _ExpertDense(nn.Module):
     def __call__(self, x, *, training: bool = False):
         E, C, K = x.shape
         kshape = (E, K, self.features)
-        if self.qconfig.mode == "serve":
+        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
+        if qc.mode == "serve":
             y = self._serve(x, kshape)
         else:
-            acfg = self.qconfig.activation_for_axis(x.ndim - 1)
+            acfg = qc.activation_for_axis(x.ndim - 1)
             if acfg is not None:
                 x = FakeQuantize(acfg, name="act_fq")(x, training=training)
             kernel = self.param("kernel", nn.initializers.lecun_normal(
                 batch_axis=(0,)), kshape)
-            wcfg = self.qconfig.weight_for_axis(0)  # per-EXPERT scales
+            wcfg = qc.weight_for_axis(0)  # per-EXPERT scales
             if wcfg is not None:
                 kernel = FakeQuantize(wcfg, name="weight_fq")(
                     kernel, training=training)
@@ -140,33 +141,33 @@ class _ExpertDense(nn.Module):
         return (y + bias).astype(x.dtype)
 
     def _serve(self, x, kshape):
-        wspec = self.qconfig.required_weight_for_axis(0).spec
+        qc = self.qconfig.resolve(self.path)
+        wspec = qc.required_weight_for_axis(0).spec
         packed = self.variable(
             "quantized", "kernel",
             lambda: _dummy_packed(kshape, wspec, 0)).value
-        if self.qconfig.activation is not None:
-            c = x.shape[-1] if self.qconfig.activation.spec.per_channel else 1
+        if qc.activation is not None:
+            c = x.shape[-1] if qc.activation.spec.per_channel else 1
             ascale = self.variable("quantized", "act_scale",
                                    lambda: jnp.ones((c,), jnp.float32)).value
             azp = self.variable("quantized", "act_zp",
                                 lambda: jnp.zeros((c,), jnp.int32)).value
-            if self.qconfig.act_mode == "dynamic":
+            if qc.act_mode == "dynamic":
                 raise ValueError(
                     "QuantMoE serving supports act_mode 'none', 'static' or "
                     "'static_int8'; got 'dynamic' (per-microbatch dynamic "
                     "ranges interact with routing — use static qparams)")
-            if self.qconfig.act_mode == "static_int8":
+            if qc.act_mode == "static_int8":
                 return self._serve_int8(x, packed, ascale, azp)
-            if self.qconfig.act_mode == "static":
-                x = _static_act_quant(x, ascale, azp,
-                                      self.qconfig.activation.spec)
+            if qc.act_mode == "static":
+                x = _static_act_quant(x, ascale, azp, qc.activation.spec)
         # Weight-only fused dequant: (q - zp)·s with s per-expert (or
         # per-tensor) factors OUT of the d-contraction —
         #   y[e,c,n] = s_e · (Σ_k x·q  −  zp_e · Σ_k x)
         # exactly (pack.dequantize_weight is the oracle; test_moe.py pins it).
-        if self.qconfig.serve_impl == "pallas":
+        if qc.serve_impl == "pallas":
             return self._serve_pallas(x, packed)
-        prec = self.qconfig.serve_precision
+        prec = qc.serve_precision
         cd = jnp.float32 if prec == "highest" else jnp.bfloat16
         s = packed.scale.reshape(-1, 1, 1)        # (E|1, 1, 1)
         zp = packed.zero_point.reshape(-1, 1, 1).astype(jnp.float32)
@@ -210,7 +211,7 @@ class _ExpertDense(nn.Module):
         exact in integers up to the i32 accumulator, streaming BOTH operands
         at int8 width.  Per-tensor activation qparams; per-expert (or
         per-tensor) weight qparams broadcast as (E|1, 1, 1)."""
-        aspec = self.qconfig.activation.spec
+        aspec = self.qconfig.resolve(self.path).activation.spec
         if ascale.shape[0] != 1:
             raise ValueError("static activation qparams must be per-tensor")
         sx = ascale.astype(jnp.float32)[0]

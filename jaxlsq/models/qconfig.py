@@ -49,6 +49,13 @@ class QConfig:
     # (int8 weights are bf16-exact; only activations round, ~2^-9 rel);
     # 'highest' = f32-exact 3-pass, for parity checks / f32-sensitive heads.
     serve_precision: Optional[str] = None
+    # MIXED PRECISION: (pattern, QConfig) pairs — a layer whose module path
+    # ('/'-joined, e.g. 'blocks_0/mlp_up') CONTAINS a pattern uses that
+    # entry's weight/activation quantizers instead (first match wins).  Use
+    # `with_overrides({...})`; layers and `convert()` call `resolve(path)`.
+    # Execution-mode fields (mode/act_mode/serve_*) always come from the
+    # ROOT config, so `for_serving(...)` applies to every override at once.
+    overrides: tuple = ()
 
     def for_serving(self, act_mode: str = "none", impl: str = "auto",
                     precision: Optional[str] = None) -> "QConfig":
@@ -64,6 +71,34 @@ class QConfig:
             raise ValueError(f"unknown act_mode {act_mode!r}")
         return dataclasses.replace(self, mode="serve", act_mode=act_mode,
                                    serve_impl=impl, serve_precision=precision)
+
+    def with_overrides(self, mapping) -> "QConfig":
+        """Mixed-precision config: ``mapping`` is ``{path_pattern: QConfig}``
+        (e.g. ``{"head": default_qconfig(8, 8), "blocks": default_qconfig(4, 8)}``
+        to keep a sensitive head at 8 bit — the decision the sensitivity
+        report informs).  Patterns match as substrings of the '/'-joined
+        module path; FIRST match wins; unmatched layers use this config."""
+        pairs = tuple((str(k), v) for k, v in mapping.items())
+        for _, qc in pairs:
+            if not isinstance(qc, QConfig):
+                raise ValueError("override values must be QConfig instances")
+        return dataclasses.replace(self, overrides=pairs)
+
+    def resolve(self, path) -> "QConfig":
+        """The effective config for a module at ``path`` (tuple of names or
+        a string): the first matching override's quantizers under THIS
+        config's execution mode.  No overrides → self (zero cost)."""
+        if not self.overrides:
+            return self
+        joined = path if isinstance(path, str) else "/".join(str(p)
+                                                             for p in path)
+        for pattern, qc in self.overrides:
+            if pattern in joined:
+                return dataclasses.replace(
+                    qc, mode=self.mode, act_mode=self.act_mode,
+                    serve_impl=self.serve_impl,
+                    serve_precision=self.serve_precision, overrides=())
+        return dataclasses.replace(self, overrides=())
 
     def required_weight_for_axis(self, axis: int) -> LSQQuantizer:
         """weight_for_axis that raises the canonical serve-mode error when

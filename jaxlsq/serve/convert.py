@@ -89,7 +89,7 @@ def convert(variables: Dict[str, Any], qconfig, *,
     params = variables["params"]
     qparams = variables.get("qparams", {})
 
-    def walk(p_tree, q_tree):
+    def walk(p_tree, q_tree, path=()):
         if not isinstance(p_tree, dict):
             return p_tree, None
         # 'kernel' = dense/conv weights (per-channel axis = last);
@@ -99,10 +99,13 @@ def convert(variables: Dict[str, Any], qconfig, *,
         has_wq = (isinstance(q_tree, dict) and "weight_fq" in q_tree
                   and wname is not None)
         if has_wq:
+            # mixed-precision overrides: the variable path mirrors the
+            # module path the layers resolve against
+            qcfg = qconfig.resolve(path)
             kernel = p_tree[wname]
             axis = 0 if wname == "embedding" else _weight_axis_for(kernel)
-            wspec = qconfig.weight.spec.replace(axis=axis) \
-                if qconfig.weight.spec.per_channel else qconfig.weight.spec
+            wspec = qcfg.weight.spec.replace(axis=axis) \
+                if qcfg.weight.spec.per_channel else qcfg.weight.spec
             wqp = q_tree["weight_fq"]["qp"]
             # embedding: int4 nibble packing would break the row gather
             bits = 8 if wname == "embedding" else serving_bits(wspec)
@@ -117,9 +120,9 @@ def convert(variables: Dict[str, Any], qconfig, *,
                 packed = quantize_weight(
                     kernel, wqp["scale"], wqp["shift"], wspec, bits=bits)
             quantized: Dict[str, Any] = {wname: packed}
-            if "act_fq" in q_tree and qconfig.activation is not None:
+            if "act_fq" in q_tree and qcfg.activation is not None:
                 ascale, azp = _act_qparams(q_tree["act_fq"]["qp"],
-                                           qconfig.activation.spec)
+                                           qcfg.activation.spec)
                 quantized["act_scale"] = ascale
                 quantized["act_zp"] = azp
             new_p = {k: v for k, v in p_tree.items() if k != wname}
@@ -127,7 +130,7 @@ def convert(variables: Dict[str, Any], qconfig, *,
         new_p, new_q = {}, {}
         for k, v in p_tree.items():
             sub_q = q_tree.get(k, {}) if isinstance(q_tree, dict) else {}
-            np_, nq_ = walk(v, sub_q)
+            np_, nq_ = walk(v, sub_q, path + (k,))
             # drop only empty dicts; array leaves (LayerNorm/Embed params,
             # biases) pass through untouched
             if not (isinstance(np_, dict) and not np_):
