@@ -3,6 +3,8 @@
 from .checkpoint import (latest_step, restore_checkpoint, restore_or_init,
                          save_checkpoint)
 from .migrate import load_torchlsq_state
+from .mixed_precision import (format_plan, plan_mixed_precision,
+                              requantize_qconfig)
 from .profiling import StepTimer, annotate, trace
 from .report import format_report, quantizer_report, serving_size_report
 from .sensitivity import (format_sensitivity, quantizer_scopes,
@@ -15,4 +17,5 @@ __all__ = [
     "format_report", "quantizer_report", "serving_size_report",
     "sensitivity_report", "format_sensitivity", "quantizer_scopes",
     "set_fake_quant_by_scope",
+    "plan_mixed_precision", "format_plan", "requantize_qconfig",
 ]
