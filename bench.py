@@ -229,9 +229,35 @@ def bench_decode():
                 B / runs["int4kv"], 1)
             out[f"decode_speedup_b{B}_int4kv_vs_bf16kv"] = round(
                 runs["int8"] / runs["int4kv"], 2)
+    # Long-context leg: at max_len 2048 the cache stream dominates (~268 MB
+    # bf16/step vs ~67 MB int8 weights) — where the fused Pallas
+    # flash-decoding kernel (serve/attention.py) earns its keep over the
+    # einsum default (docs/measurements/fused_attention_tpu.json).
+    LMAX = 2048
+    B = 8
+    prompt = jnp.asarray(r.randint(0, VOCAB, size=(B, T0)))
+    lruns = {}
+    for name, impl in (("xla", "xla"), ("fused", "pallas")):
+        lm = dataclasses.replace(model, max_len=LMAX,
+                                 qconfig=qc.for_serving("none", "auto"),
+                                 attn_impl=impl)
+        g1 = make_generate(lm, T0, N1, cache_dtype=jnp.int8)
+        g2 = make_generate(lm, T0, N2, cache_dtype=jnp.int8)
+        np.asarray(g1(sv, prompt)); np.asarray(g2(sv, prompt))
+        t1s, t2s = [], []
+        for _ in range(4):
+            t0 = time.perf_counter(); np.asarray(g1(sv, prompt))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); np.asarray(g2(sv, prompt))
+            t2s.append(time.perf_counter() - t0)
+        lruns[name] = max((min(t2s) - min(t1s)) / (N2 - N1), 1e-9)
+    out["decode_tokens_per_s_b8_L2048_fused"] = round(B / lruns["fused"], 1)
+    out["fused_attn_speedup_b8_L2048_vs_xla"] = round(
+        lruns["xla"] / lruns["fused"], 2)
     out["decode_shape"] = (
         f"LM d{DIM} depth{DEPTH} vocab{VOCAB} prompt{T0}, greedy scan "
-        "decode; bf16 KV cache except the int8kv/int4kv legs")
+        "decode; bf16 KV cache except the int8kv/int4kv legs; the L2048 "
+        "fused leg runs the Pallas flash-decoding kernel on an int8 cache")
     return out
 
 

@@ -245,6 +245,20 @@ class QuantTransformerBlock(nn.Module):
     mlp_ratio: int = 4
     num_kv_heads: Optional[int] = None
     rope: bool = False  # rotary position embeddings on q/k
+    # Decode-attention implementation for the kv_cache branch:
+    #   'xla'    — the inline einsum formulation below (bit-exact default);
+    #   'pallas' — serve/attention.py's fused flash-decoding kernel (one
+    #              cache pass, online softmax, in-kernel int8/int4 dequant);
+    #   'auto'   — pallas on TPU for decode-shaped calls (t <= 8), xla
+    #              otherwise (prefill's big matmuls belong to XLA).
+    # Prefill (no cache) and training always use the einsum path.
+    attn_impl: str = "xla"
+    # Sliding-window attention (Mistral-style): each query attends only to
+    # its last `attn_window` keys (positions in (qpos-W, qpos]); None = full
+    # causal prefix.  Applies identically in training, prefill, and decode,
+    # so QAT and serving see the same attention pattern.  With the paged
+    # engine, pages that slide out of every query's window can be freed.
+    attn_window: Optional[int] = None
     # MoE MLP (models/moe.py): replaces the dense 2-layer MLP with top-k
     # routed quantized experts; the block's residual absorbs capacity drops
     moe_experts: Optional[int] = None
@@ -257,6 +271,9 @@ class QuantTransformerBlock(nn.Module):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
+        if self.attn_window is not None and self.attn_window < 1:
+            raise ValueError(f"attn_window must be >= 1 or None, got "
+                             f"{self.attn_window}")
         kvh = self.num_kv_heads or h
         if h % kvh:
             raise ValueError(f"num_heads {h} not divisible by num_kv_heads "
@@ -286,6 +303,9 @@ class QuantTransformerBlock(nn.Module):
         new_kv = None
         if kv_cache is None:
             mask = jnp.tril(jnp.ones((t, t), bool))
+            if self.attn_window is not None:  # drop keys out of the window
+                span = (jnp.arange(t)[:, None] - jnp.arange(t)[None, :])
+                mask = mask & (span < self.attn_window)
             if g == 1:
                 att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
                     float(hd))
@@ -301,120 +321,8 @@ class QuantTransformerBlock(nn.Module):
                 y = jnp.einsum("bkgql,bkld->bkgqd", att, v).reshape(
                     b, h, t, hd)
         else:
-            ck, cv = kv_cache
-            quantized = isinstance(ck, (tuple, list))
-            L = (ck[0] if quantized else ck).shape[2]
-            idx = jnp.asarray(cache_index, jnp.int32)
-
-            def write(c, new, idx):
-                """dynamic_update_slice into a (B, H, L, ...) cache array at
-                position idx — scalar idx (shared position: prefill /
-                lockstep decode) or per-slot (B,) idx (continuous batching;
-                the vmapped update lowers to a per-slot scatter)."""
-                new = new.astype(c.dtype)
-                if idx.ndim == 0:
-                    return jax.lax.dynamic_update_slice(
-                        c, new, (0, 0, idx, 0)[: c.ndim])
-                return jax.vmap(
-                    lambda cc, nn, i: jax.lax.dynamic_update_slice(
-                        cc, nn, (0, i, 0)[: cc.ndim]))(c, new, idx)
-
-            if idx.ndim == 0:
-                qpos = (idx + jnp.arange(t))[None, None, :, None]
-            else:
-                qpos = (idx[:, None] + jnp.arange(t))[:, None, :, None]
-            kpos = jnp.arange(L)[None, None, None, :]
-            if g > 1:  # grouped dots carry an extra group dim before t
-                qpos = qpos[:, :, None]
-                kpos = kpos[:, :, None]
-
-            # NOTE: the g == 1 (MHA) and g > 1 (GQA) dot bodies are kept as
-            # separate einsums ON PURPOSE: the 4-D MHA form is the
-            # benchmarked decode hot path, and funneling it through the 5-D
-            # grouped form with g = 1 would hand XLA a different contraction
-            # to lower (and shift bit-exact decode parities).  Keep edits to
-            # the mask/softmax/scale sequence mirrored across the branches.
-            if quantized:
-                int4 = ck[0].dtype == jnp.uint8  # nibble-packed layout
-
-                def q8(a):  # per-(b, h, position) symmetric int8
-                    s = jnp.max(jnp.abs(a), axis=-1) / 127.0
-                    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-                    data = jnp.clip(jnp.round(a / s[..., None]), -127, 127)
-                    return data.astype(jnp.int8), s.astype(jnp.float32)
-
-                def q4(a):  # same scheme at 4 bits, two values per byte
-                    s = jnp.max(jnp.abs(a), axis=-1) / 7.0
-                    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-                    data = jnp.clip(jnp.round(a / s[..., None]),
-                                    -7, 7).astype(jnp.int32)
-                    n = data & 0xF  # two's-complement nibbles
-                    packed = (n[..., 0::2] | (n[..., 1::2] << 4))
-                    return packed.astype(jnp.uint8), s.astype(jnp.float32)
-
-                def unpack4(p, dt):
-                    """uint8 nibble pairs -> the original values, computed
-                    in i32 (int8 vector shifts don't legalize on v5e)."""
-                    b32 = p.astype(jnp.int32)
-                    lo = ((b32 & 0xF) ^ 8) - 8  # sign-extend low nibble
-                    hi = ((b32 >> 4) ^ 8) - 8
-                    full = jnp.stack([lo, hi], axis=-1)
-                    return full.reshape(*p.shape[:-1],
-                                        2 * p.shape[-1]).astype(dt)
-
-                kq, ks = (q4 if int4 else q8)(k)
-                vq, vs = (q4 if int4 else q8)(v)
-                ckd = write(ck[0], kq, idx)
-                cks = write(ck[1], ks, idx)
-                cvd = write(cv[0], vq, idx)
-                cvs = write(cv[1], vs, idx)
-                ckf = unpack4(ckd, q.dtype) if int4 else ckd.astype(q.dtype)
-                cvf = unpack4(cvd, q.dtype) if int4 else cvd.astype(q.dtype)
-                # dequant folds into the dots: per-KEY-position scales hit
-                # the score matrix after QK, and the value scales hit the
-                # softmax weights BEFORE AV
-                if g == 1:
-                    att = (jnp.einsum("bhqd,bhkd->bhqk", q, ckf)
-                           * cks.astype(q.dtype)[:, :, None, :]
-                           / jnp.sqrt(float(hd)))
-                    att = jnp.where(kpos <= qpos, att, -1e9)
-                    att = jax.nn.softmax(att, axis=-1)
-                    y = jnp.einsum("bhqk,bhkd->bhqd",
-                                   att * cvs.astype(q.dtype)[:, :, None, :],
-                                   cvf)
-                else:
-                    q5 = q.reshape(b, kvh, g, t, hd)
-                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5, ckf)
-                           * cks.astype(q.dtype)[:, :, None, None, :]
-                           / jnp.sqrt(float(hd)))
-                    att = jnp.where(kpos <= qpos, att, -1e9)
-                    att = jax.nn.softmax(att, axis=-1)
-                    y = jnp.einsum(
-                        "bkgql,bkld->bkgqd",
-                        att * cvs.astype(q.dtype)[:, :, None, None, :],
-                        cvf).reshape(b, h, t, hd)
-                new_kv = ((ckd, cks), (cvd, cvs))
-            else:
-                ck = write(ck, k, idx)
-                cv = write(cv, v, idx)
-                if g == 1:
-                    att = (jnp.einsum("bhqd,bhkd->bhqk", q,
-                                      ck.astype(q.dtype))
-                           / jnp.sqrt(float(hd)))
-                    att = jnp.where(kpos <= qpos, att, -1e9)
-                    att = jax.nn.softmax(att, axis=-1)
-                    y = jnp.einsum("bhqk,bhkd->bhqd", att,
-                                   cv.astype(q.dtype))
-                else:
-                    q5 = q.reshape(b, kvh, g, t, hd)
-                    att = (jnp.einsum("bkgqd,bkld->bkgql", q5,
-                                      ck.astype(q.dtype))
-                           / jnp.sqrt(float(hd)))
-                    att = jnp.where(kpos <= qpos, att, -1e9)
-                    att = jax.nn.softmax(att, axis=-1)
-                    y = jnp.einsum("bkgql,bkld->bkgqd", att,
-                                   cv.astype(q.dtype)).reshape(b, h, t, hd)
-                new_kv = (ck, cv)
+            y, new_kv = _cached_attention(q, k, v, kv_cache, cache_index,
+                                          self.attn_impl, self.attn_window)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + QuantDense(d, self.qconfig, name="proj")(y, training=training)
 
@@ -438,6 +346,166 @@ class QuantTransformerBlock(nn.Module):
         return out, new_kv
 
 
+def _cached_attention(q, k, v, kv_cache, cache_index, attn_impl,
+                      attn_window=None):
+    """Decode-path attention of fresh q/k/v against a cache entry, returning
+    ``(y, new_cache_entry)``.  Dispatches on the entry's layout:
+
+    * dense float array / (data, scales) quantized pair — write at
+      ``cache_index`` then the einsum or fused-Pallas formulation;
+    * :class:`jaxlsq.serve.paged.PagedKVLayer` — block-table paged pools:
+      quantize-on-write scatter through the table + paged attention (XLA
+      gather oracle or the scalar-prefetch Pallas kernel).
+    """
+    from ..serve.paged import PagedKVLayer, paged_attention, paged_update
+
+    b, h, t, hd = q.shape
+    kvh = k.shape[1]
+    g = h // kvh
+    if attn_impl not in ("xla", "pallas", "auto"):
+        raise ValueError(f"attn_impl must be 'xla', 'pallas' or "
+                         f"'auto', got {attn_impl!r}")
+    use_fused = (attn_impl == "pallas"
+                 or (attn_impl == "auto"
+                     and jax.default_backend() == "tpu" and t <= 8))
+    idx = jnp.asarray(cache_index, jnp.int32)
+
+    if isinstance(kv_cache, PagedKVLayer):
+        new_kv = paged_update(kv_cache, k, v, idx)
+        y = paged_attention(q, new_kv, idx, window=attn_window,
+                            impl="pallas" if use_fused else "xla")
+        return y, new_kv
+
+    # dense-cache path
+    ck, cv = kv_cache
+    quantized = isinstance(ck, (tuple, list))
+    L = (ck[0] if quantized else ck).shape[2]
+
+    def write(c, new, idx):
+        """dynamic_update_slice into a (B, H, L, ...) cache array at
+        position idx — scalar idx (shared position: prefill /
+        lockstep decode) or per-slot (B,) idx (continuous batching;
+        the vmapped update lowers to a per-slot scatter)."""
+        new = new.astype(c.dtype)
+        if idx.ndim == 0:
+            return jax.lax.dynamic_update_slice(
+                c, new, (0, 0, idx, 0)[: c.ndim])
+        return jax.vmap(
+            lambda cc, nn, i: jax.lax.dynamic_update_slice(
+                cc, nn, (0, i, 0)[: cc.ndim]))(c, new, idx)
+
+    if idx.ndim == 0:
+        qpos = (idx + jnp.arange(t))[None, None, :, None]
+    else:
+        qpos = (idx[:, None] + jnp.arange(t))[:, None, :, None]
+    kpos = jnp.arange(L)[None, None, None, :]
+    if g > 1:  # grouped dots carry an extra group dim before t
+        qpos = qpos[:, :, None]
+        kpos = kpos[:, :, None]
+    ok = kpos <= qpos
+    if attn_window is not None:  # sliding window: only the last W keys
+        ok = ok & (kpos > qpos - attn_window)
+
+    # NOTE: the g == 1 (MHA) and g > 1 (GQA) dot bodies are kept as
+    # separate einsums ON PURPOSE: the 4-D MHA form is the
+    # benchmarked decode hot path, and funneling it through the 5-D
+    # grouped form with g = 1 would hand XLA a different contraction
+    # to lower (and shift bit-exact decode parities).  Keep edits to
+    # the mask/softmax/scale sequence mirrored across the branches.
+    if quantized:
+        int4 = ck[0].dtype == jnp.uint8  # nibble-packed layout
+
+        def q8(a):  # per-(b, h, position) symmetric int8
+            s = jnp.max(jnp.abs(a), axis=-1) / 127.0
+            s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+            data = jnp.clip(jnp.round(a / s[..., None]), -127, 127)
+            return data.astype(jnp.int8), s.astype(jnp.float32)
+
+        def q4(a):  # same scheme at 4 bits, two values per byte
+            s = jnp.max(jnp.abs(a), axis=-1) / 7.0
+            s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+            data = jnp.clip(jnp.round(a / s[..., None]),
+                            -7, 7).astype(jnp.int32)
+            n = data & 0xF  # two's-complement nibbles
+            packed = (n[..., 0::2] | (n[..., 1::2] << 4))
+            return packed.astype(jnp.uint8), s.astype(jnp.float32)
+
+        def unpack4(p, dt):
+            """uint8 nibble pairs -> the original values, computed
+            in i32 (int8 vector shifts don't legalize on v5e)."""
+            b32 = p.astype(jnp.int32)
+            lo = ((b32 & 0xF) ^ 8) - 8  # sign-extend low nibble
+            hi = ((b32 >> 4) ^ 8) - 8
+            full = jnp.stack([lo, hi], axis=-1)
+            return full.reshape(*p.shape[:-1],
+                                2 * p.shape[-1]).astype(dt)
+
+        kq, ks = (q4 if int4 else q8)(k)
+        vq, vs = (q4 if int4 else q8)(v)
+        ckd = write(ck[0], kq, idx)
+        cks = write(ck[1], ks, idx)
+        cvd = write(cv[0], vq, idx)
+        cvs = write(cv[1], vs, idx)
+        if use_fused:
+            from ..serve.attention import decode_attention
+            y = decode_attention(q, (ckd, cks), (cvd, cvs), idx,
+                                 window=attn_window)
+        else:
+            ckf = (unpack4(ckd, q.dtype) if int4
+                   else ckd.astype(q.dtype))
+            cvf = (unpack4(cvd, q.dtype) if int4
+                   else cvd.astype(q.dtype))
+            # dequant folds into the dots: per-KEY-position scales
+            # hit the score matrix after QK, and the value scales
+            # hit the softmax weights BEFORE AV
+            if g == 1:
+                att = (jnp.einsum("bhqd,bhkd->bhqk", q, ckf)
+                       * cks.astype(q.dtype)[:, :, None, :]
+                       / jnp.sqrt(float(hd)))
+                att = jnp.where(ok, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum(
+                    "bhqk,bhkd->bhqd",
+                    att * cvs.astype(q.dtype)[:, :, None, :], cvf)
+            else:
+                q5 = q.reshape(b, kvh, g, t, hd)
+                att = (jnp.einsum("bkgqd,bkld->bkgql", q5, ckf)
+                       * cks.astype(q.dtype)[:, :, None, None, :]
+                       / jnp.sqrt(float(hd)))
+                att = jnp.where(ok, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                y = jnp.einsum(
+                    "bkgql,bkld->bkgqd",
+                    att * cvs.astype(q.dtype)[:, :, None, None, :],
+                    cvf).reshape(b, h, t, hd)
+        new_kv = ((ckd, cks), (cvd, cvs))
+    else:
+        ck = write(ck, k, idx)
+        cv = write(cv, v, idx)
+        if use_fused:
+            from ..serve.attention import decode_attention
+            y = decode_attention(q, ck, cv, idx, window=attn_window)
+        elif g == 1:
+            att = (jnp.einsum("bhqd,bhkd->bhqk", q,
+                              ck.astype(q.dtype))
+                   / jnp.sqrt(float(hd)))
+            att = jnp.where(ok, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att,
+                           cv.astype(q.dtype))
+        else:
+            q5 = q.reshape(b, kvh, g, t, hd)
+            att = (jnp.einsum("bkgqd,bkld->bkgql", q5,
+                              ck.astype(q.dtype))
+                   / jnp.sqrt(float(hd)))
+            att = jnp.where(ok, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bkgql,bkld->bkgqd", att,
+                           cv.astype(q.dtype)).reshape(b, h, t, hd)
+        new_kv = (ck, cv)
+    return y, new_kv
+
+
 class QuantTransformerLM(nn.Module):
     """Tiny causal LM: embedding → N quantized blocks → tied-free LM head.
     Demonstrates QAT + serving on an autoregressive (tokens/s) workload.
@@ -455,6 +523,8 @@ class QuantTransformerLM(nn.Module):
     max_len: int = 256
     num_kv_heads: Optional[int] = None  # < num_heads ⇒ grouped-query attn
     pos_embedding: str = "learned"      # 'learned' | 'rope'
+    attn_impl: str = "xla"              # decode attention: 'xla'|'pallas'|'auto'
+    attn_window: Optional[int] = None   # sliding-window attention (last W keys)
     moe_experts: Optional[int] = None   # set ⇒ MoE MLPs (models/moe.py)
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
@@ -491,6 +561,7 @@ class QuantTransformerLM(nn.Module):
                 num_kv_heads=self.num_kv_heads, rope=rope,
                 moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
+                attn_impl=self.attn_impl, attn_window=self.attn_window,
                 name=f"block{i}")
             if cache is None:
                 x = block(x, training=training)

@@ -8,9 +8,13 @@ handing qparams to ``torch.quantization.convert``, observers.py:403-422):
   (Pallas TPU kernel) + dynamic int8×int8 path.
 * ``convert`` — QAT variables → serving variables; TP sharding helpers.
 * ``decode``  — KV cache + prefill + scan-fused greedy generation.
+* ``attention`` — fused Pallas flash-decoding over (quantized) KV caches.
 """
 
+from .attention import decode_attention
 from .convert import convert, shard_converted, shard_packed, serving_bits
+from .paged import (PageAllocator, PagedKVLayer, init_paged_cache,
+                    paged_attention, paged_update, with_table)
 from .decode import (DecodeEngine, Prefix, SpeculativeDecodeEngine,
                      init_kv_cache,
                      make_beam_search,
@@ -26,7 +30,10 @@ from .pack import (PackedWeight, dequantize_weight, pack_int4, quantize_weight,
                    unpack_int4)
 
 __all__ = [
-    "convert", "shard_converted", "shard_packed", "serving_bits",
+    "convert", "decode_attention", "shard_converted", "shard_packed",
+    "serving_bits",
+    "PageAllocator", "PagedKVLayer", "init_paged_cache", "paged_attention",
+    "paged_update", "with_table",
     "ServingEngine",
     "DecodeEngine", "Prefix", "init_kv_cache", "make_beam_search", "make_generate", "make_sampler",
     "make_speculative_generate", "SpeculativeDecodeEngine", "prefill",

@@ -119,8 +119,13 @@ def prefill(model, variables, tokens: jnp.ndarray, *,
     b, t = tokens.shape
     if cache is None:
         cache = init_kv_cache(model, b, dtype=cache_dtype)
-    lead = cache[0][0]  # (data, scale) pair when the cache is int8-quantized
-    L = (lead[0] if isinstance(lead, (tuple, list)) else lead).shape[2]
+    from .paged import PagedKVLayer
+    if isinstance(cache[0], PagedKVLayer):
+        L = cache[0].table.shape[1] * cache[0].page_size
+    else:
+        # (data, scale) pair when the cache is int8-quantized
+        lead = cache[0][0]
+        L = (lead[0] if isinstance(lead, (tuple, list)) else lead).shape[2]
     if t > L:
         raise ValueError(f"prompt length {t} exceeds cache max_len {L}")
     logits, cache = model.apply(variables, tokens, cache=cache,
@@ -195,7 +200,8 @@ def make_generate(model, prompt_len: int, n_new: int, *,
 # ---------------------------------------------------------------------------
 
 class _GenRequest:
-    __slots__ = ("prompt", "n_new", "future", "tokens", "slot", "prefix")
+    __slots__ = ("prompt", "n_new", "future", "tokens", "slot", "prefix",
+                 "pages")
 
     def __init__(self, prompt: np.ndarray, n_new: int, prefix=None):
         self.prompt = prompt
@@ -204,6 +210,7 @@ class _GenRequest:
         self.tokens: list = []
         self.slot = -1
         self.prefix = prefix
+        self.pages = None  # pool pages owned by this request (paged engines)
 
 
 def _warn_moe_capacity(model):
@@ -351,13 +358,37 @@ class DecodeEngine:
         self._rng = rng
         self._sampled = rng is not None
         self._counter = 0
-        pick = logits_to_token or (
+        self._pick = logits_to_token or (
             lambda logits, *a: jnp.argmax(logits, -1).astype(jnp.int32))
-        self._cache = init_kv_cache(model, max_batch, dtype=cache_dtype)
+        self.prefill_chunk = prefill_chunk
+        self._build_device_state(cache_dtype)
+
+        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
+        self._slots: list = [None] * max_batch
+        self._pending: list = []  # in-flight chunked admissions (FIFO)
+        self._lifecycle_lock = threading.Lock()
+        # serializes device-state mutation (dispatcher iteration vs warmup)
+        self._state_lock = threading.Lock()
+        self._stop = False
+        self.max_wait_s = max_wait_ms / 1e3
+        # admission_interleave: decode steps each admission overlapped —
+        # bounded (long-running engines must not grow per-request state)
+        self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
+                      "active_token_sum": 0, "admission_chunks": 0,
+                      "admission_interleave": deque(maxlen=1024)}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _build_device_state(self, cache_dtype):
+        """Create the KV cache / position / token device state and compile
+        wrappers for the three engine programs (decode step, prefill chunk,
+        final chunk).  ``PagedDecodeEngine`` overrides this with the
+        block-table layout."""
+        max_batch = self.max_batch
+        pick, sampled = self._pick, self._sampled
+        self._cache = init_kv_cache(self.model, max_batch, dtype=cache_dtype)
         self._pos = jnp.full((max_batch,), self.max_len - 1, jnp.int32)
         self._tok = jnp.zeros((max_batch,), jnp.int32)
-        self.prefill_chunk = prefill_chunk
-        sampled = self._sampled
 
         def _chunk(variables, slot_cache, tokens, start):
             """One admission chunk: run ``tokens`` (1, c) against the
@@ -392,22 +423,6 @@ class DecodeEngine:
         self._chunk_fn = jax.jit(_chunk, donate_argnums=(1,))
         self._final_fn = jax.jit(_final_chunk, donate_argnums=(1, 2))
         self._step_fn = jax.jit(_step, donate_argnums=(1,))
-
-        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
-        self._slots: list = [None] * max_batch
-        self._pending: list = []  # in-flight chunked admissions (FIFO)
-        self._lifecycle_lock = threading.Lock()
-        # serializes device-state mutation (dispatcher iteration vs warmup)
-        self._state_lock = threading.Lock()
-        self._stop = False
-        self.max_wait_s = max_wait_ms / 1e3
-        # admission_interleave: decode steps each admission overlapped —
-        # bounded (long-running engines must not grow per-request state)
-        self.stats = {"requests": 0, "steps": 0, "slot_tokens": 0,
-                      "active_token_sum": 0, "admission_chunks": 0,
-                      "admission_interleave": deque(maxlen=1024)}
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
 
     def _chunk_len(self, bucket: int) -> int:
         return bucket if self.prefill_chunk is None else min(
@@ -689,6 +704,23 @@ class DecodeEngine:
                 # park the freed slot
                 self._pos = self._pos.at[slot].set(self.max_len - 1)
 
+    def _stage_admissions(self, reserved: set):
+        """Pull queued requests into free, unreserved slots (one dispatcher
+        iteration's admission staging; paged engines override this to defer
+        requests while the page pool is exhausted)."""
+        for slot in range(self.max_batch):
+            if self._slots[slot] is None and slot not in reserved:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._start_admit(req, slot)
+                    reserved.add(slot)
+                except Exception as e:  # pragma: no cover
+                    if not req.future.done():  # may be cancelled
+                        req.future.set_exception(e)
+
     def _loop(self):
         while True:
             if self._stop:
@@ -697,18 +729,7 @@ class DecodeEngine:
             self._state_lock.acquire()
             # stage new admissions into free, unreserved slots
             reserved = {p.slot for p in self._pending}
-            for slot in range(self.max_batch):
-                if self._slots[slot] is None and slot not in reserved:
-                    try:
-                        req = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    try:
-                        self._start_admit(req, slot)
-                        reserved.add(slot)
-                    except Exception as e:  # pragma: no cover
-                        if not req.future.done():  # may be cancelled
-                            req.future.set_exception(e)
+            self._stage_admissions(reserved)
             # advance the HEAD admission by one chunk — at most one chunk
             # per iteration, so active slots' decode-step gap is bounded by
             # one chunk's compute (not the whole prompt)

@@ -1,0 +1,165 @@
+"""Fused Pallas decode-attention (serve/attention.py) vs the einsum oracle.
+
+The oracle ``_decode_attention_xla`` is models/zoo.py's exact einsum
+formulation (same mask additive, same scale placement); the kernel must match
+it to f32 online-softmax tolerance on every cache layout the framework
+supports: f32 / bf16 / int8 / int4-nibble-packed, MHA and GQA, scalar
+(lockstep) and per-slot (continuous batching) positions, and cache lengths
+that do not divide the block (tail masking)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jaxlsq.models import QuantTransformerLM, default_qconfig
+from jaxlsq.models.toggles import disable_observer
+from jaxlsq.serve import convert, init_kv_cache, make_generate, prefill
+from jaxlsq.serve.attention import _decode_attention_xla, decode_attention
+
+
+def _q8(a, rng=None):
+    s = jnp.max(jnp.abs(a), axis=-1) / 127.0
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    d = jnp.clip(jnp.round(a / s[..., None]), -127, 127)
+    return d.astype(jnp.int8), s.astype(jnp.float32)
+
+
+def _q4(a):
+    s = jnp.max(jnp.abs(a), axis=-1) / 7.0
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    d = jnp.clip(jnp.round(a / s[..., None]), -7, 7).astype(jnp.int32)
+    n = d & 0xF
+    return ((n[..., 0::2] | (n[..., 1::2] << 4)).astype(jnp.uint8),
+            s.astype(jnp.float32))
+
+
+CASES = [
+    # B, H, KVH, t, hd, L, idx_kind
+    (2, 4, 4, 1, 64, 64, "scalar"),      # MHA decode
+    (2, 4, 4, 1, 64, 40, "vector"),      # tail block (40 % 32 != 0 for int8)
+    (2, 4, 2, 3, 64, 96, "vector"),      # GQA + speculative-verify t
+    (1, 2, 1, 1, 32, 33, "scalar"),      # worst-case tail
+    (2, 8, 2, 2, 128, 128, "vector"),    # wide head_dim
+]
+
+
+@pytest.mark.parametrize("layout", ["f32", "bf16", "int8", "int4"])
+@pytest.mark.parametrize("case", CASES,
+                         ids=[f"B{c[0]}H{c[1]}kv{c[2]}t{c[3]}hd{c[4]}L{c[5]}"
+                              f"{c[6]}" for c in CASES])
+def test_kernel_matches_einsum_oracle(layout, case):
+    b, h, kvh, t, hd, length, idx_kind = case
+    r = np.random.RandomState(hash((layout,) + case) % 2**31)
+    q = jnp.asarray(r.randn(b, h, t, hd), jnp.float32)
+    kf = jnp.asarray(r.randn(b, kvh, length, hd), jnp.float32)
+    vf = jnp.asarray(r.randn(b, kvh, length, hd), jnp.float32)
+    if idx_kind == "scalar":
+        idx = jnp.int32(length - t - 1)
+    else:
+        idx = jnp.asarray(r.randint(t - 1, length - t, size=(b,)), jnp.int32)
+    if layout == "f32":
+        ck, cv = kf, vf
+    elif layout == "bf16":
+        ck, cv = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+    elif layout == "int8":
+        ck, cv = _q8(kf), _q8(vf)
+    else:
+        ck, cv = _q4(kf), _q4(vf)
+    ref = _decode_attention_xla(q, ck, cv, idx)
+    out = decode_attention(q, ck, cv, idx, impl="pallas", interpret=True,
+                           block_l=32)
+    assert out.dtype == q.dtype
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_auto_resolves_to_xla_off_tpu():
+    b, h, t, hd, length = 1, 2, 1, 32, 16
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(b, h, t, hd), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, length, hd), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, length, hd), jnp.float32)
+    ref = _decode_attention_xla(q, k, v, jnp.int32(7))
+    out = decode_attention(q, k, v, jnp.int32(7), impl="auto")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_bad_head_ratio_raises():
+    q = jnp.zeros((1, 3, 1, 32), jnp.float32)
+    k = jnp.zeros((1, 2, 8, 32), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        decode_attention(q, k, k, jnp.int32(0), impl="pallas",
+                         interpret=True)
+
+
+class TestModelIntegration:
+    """attn_impl='pallas' end to end: the LM's decode logits must track the
+    bit-exact 'xla' default on every cache layout."""
+
+    VOCAB, DIM, DEPTH, HEADS, MAXLEN = 64, 32, 2, 4, 24
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        qc = default_qconfig(8, 8, init_batches=1)
+        kw = dict(vocab=self.VOCAB, dim=self.DIM, depth=self.DEPTH,
+                  num_heads=self.HEADS, qconfig=qc, max_len=self.MAXLEN)
+        model = QuantTransformerLM(**kw)
+        r = np.random.RandomState(1)
+        tokens = jnp.asarray(r.randint(0, self.VOCAB, size=(2, 12)))
+        variables = disable_observer(
+            model.init(jax.random.key(0), tokens, training=False))
+        return kw, variables, tokens, qc
+
+    @pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8, "int4"])
+    def test_decode_logits_track_xla(self, setup, cache_dtype):
+        kw, variables, tokens, qc = setup
+        outs = {}
+        for impl in ("xla", "pallas"):
+            model = QuantTransformerLM(**kw, attn_impl=impl)
+            cache = init_kv_cache(model, 2, dtype=cache_dtype)
+            last, cache, idx = prefill(model, variables, tokens[:, :6],
+                                       cache=cache)
+            logits, _ = model.apply(variables, tokens[:, 6:7], cache=cache,
+                                    cache_index=idx)
+            outs[impl] = (np.asarray(last), np.asarray(logits[:, 0]))
+        np.testing.assert_allclose(outs["pallas"][0], outs["xla"][0],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(outs["pallas"][1], outs["xla"][1],
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_generate_serve_int8_cache_matches_xla(self, setup):
+        kw, variables, tokens, qc = setup
+        sv = convert(variables, qc)
+        toks = {}
+        for impl in ("xla", "pallas"):
+            sm = QuantTransformerLM(**dataclasses_replace(kw, qc, "static"),
+                                    attn_impl=impl)
+            gen = make_generate(sm, prompt_len=6, n_new=6,
+                                cache_dtype=jnp.int8)
+            toks[impl] = np.asarray(gen(sv, tokens[:, :6]))
+        np.testing.assert_array_equal(toks["pallas"], toks["xla"])
+
+    def test_gqa_decode_tracks_xla(self, setup):
+        kw, _, tokens, qc = setup
+        kw = dict(kw, num_kv_heads=2)
+        model = QuantTransformerLM(**kw)
+        variables = disable_observer(
+            model.init(jax.random.key(2), tokens, training=False))
+        outs = {}
+        for impl in ("xla", "pallas"):
+            m = QuantTransformerLM(**kw, attn_impl=impl)
+            last, cache, idx = prefill(m, variables, tokens[:, :6])
+            logits, _ = m.apply(variables, tokens[:, 6:7], cache=cache,
+                                cache_index=idx)
+            outs[impl] = np.asarray(logits[:, 0])
+        np.testing.assert_allclose(outs["pallas"], outs["xla"],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def dataclasses_replace(kw, qc, act_mode):
+    out = dict(kw)
+    out["qconfig"] = qc.for_serving(act_mode, "xla")
+    return out
