@@ -60,18 +60,36 @@ def _resolve_interpret(interpret) -> bool:
     return bool(interpret)
 
 
-def _attn_kernel(qpos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-                 acc_ref, m_ref, l_ref, *, nl: int, t: int, block_l: int,
+def _attn_kernel(qpos_ref, *refs, nl: int, t: int, block_l: int,
                  length: int, scale: float, quantized: bool, int4: bool,
-                 hd2: int, precision=None, window: Optional[int] = None):
+                 hd2: int, precision=None, window: Optional[int] = None,
+                 nl_total: Optional[int] = None):
     """One (b, kv-head) program; grid dim 1 walks the cache length.
 
     Block shapes: q (1, gt, hq), k/v (1, block_l, hq), ks/vs (1, block_l),
     o (1, gt, hd) — hq = hd (int8/float) or hd/2-packed bytes (int4).
     Scratch: acc (gt, hd) f32, m/l (gt, 128) f32 (col 0 live, broadcast
     stored — lane-dim-1 scratch does not tile).
+
+    BLOCK SKIPPING (``nl_total`` set, sliding windows): the grid runs only
+    ``nl = ceil(window/block_l) + 1`` steps and an extra scalar-prefetch
+    operand ``fb`` (first block per row, computed outside the kernel — the
+    index maps and the kernel itself only add/min, never divide, per the
+    Mosaic constraint) offsets every step: step j processes logical block
+    ``min(fb + j, nl_total - 1)``.  Decode reads O(window), not O(length).
+    Clamped duplicate steps (fb + j past the last block) are fully masked —
+    they only occur AFTER real blocks, so the running max is already real
+    and their p underflows to exactly 0.
     """
     j = pl.program_id(1)
+    if nl_total is not None:  # windowed block skipping: fb prefetch leads
+        fb_ref, *refs = refs
+        fb = fb_ref[pl.program_id(0), 0]
+        jb = jnp.minimum(fb + j, nl_total - 1)
+        dup = (fb + j) > (nl_total - 1)
+    else:
+        jb, dup = j, None
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = refs
 
     @pl.when(j == 0)
     def _():
@@ -100,12 +118,14 @@ def _attn_kernel(qpos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         s = s * ks_ref[0]                        # per-key-position scales
     s = s * scale
 
-    kpos = j * block_l + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    kpos = jb * block_l + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     tpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % t
     qp = qpos_ref[pl.program_id(0), 0]           # per-(b, kv-head) position
     valid = kpos <= qp + tpos                    # causal prefix mask
     if window is not None:                       # sliding window: last W keys
         valid = jnp.logical_and(valid, kpos > qp + tpos - window)
+    if dup is not None:  # clamped duplicate step: contributes nothing
+        valid = jnp.logical_and(valid, jnp.logical_not(dup))
     if length % block_l:                         # tail block: mask padding
         valid = jnp.logical_and(valid, kpos < length)
     s = jnp.where(valid, s, _MASK)
@@ -127,7 +147,7 @@ def _attn_kernel(qpos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     if quantized:
         vsr = vs_ref[0]                          # (1, Lb)
         if length % block_l:  # tail-block scale lanes may hold garbage
-            colok = (j * block_l + jax.lax.broadcasted_iota(
+            colok = (jb * block_l + jax.lax.broadcasted_iota(
                 jnp.int32, vsr.shape, 1)) < length
             vsr = jnp.where(colok, vsr, 0.0)
         p = p * vsr                              # value scales BEFORE AV
@@ -136,7 +156,7 @@ def _attn_kernel(qpos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         vlo = ((pv << 28) >> 28).astype(jnp.float32)
         vhi = ((pv << 24) >> 28).astype(jnp.float32)
         if length % block_l:  # out-of-bounds tiles may hold garbage
-            rowok = (j * block_l + jax.lax.broadcasted_iota(
+            rowok = (jb * block_l + jax.lax.broadcasted_iota(
                 jnp.int32, vlo.shape, 0)) < length
             vlo = jnp.where(rowok, vlo, 0.0)
             vhi = jnp.where(rowok, vhi, 0.0)
@@ -149,7 +169,7 @@ def _attn_kernel(qpos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     else:
         v = v_ref[0].astype(jnp.float32)
         if length % block_l:
-            rowok = (j * block_l + jax.lax.broadcasted_iota(
+            rowok = (jb * block_l + jax.lax.broadcasted_iota(
                 jnp.int32, v.shape, 0)) < length
             v = jnp.where(rowok, v, 0.0)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
@@ -247,36 +267,86 @@ def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
         vs = ks
 
     interp = _resolve_interpret(interpret)
+    if window is not None and window < length:
+        # block skipping only pays when blocks are window-sized: with the
+        # default 1024 target a 256-token window over L=2048 would span the
+        # whole 2-block grid.  Cap the target at the window (>=128 keeps the
+        # lane-dim scale blocks legal); nsteps*bl then stays ~window+bl.
+        block_l = min(block_l, max(128, window))
     bl = _pick_block_l(length, block_l, interp)
     nl = _cdiv(length, bl)
     sblock = (1, 1, bl) if quantized else (1, 1, 1)
-    sindex = ((lambda i, j: (i, 0, j)) if quantized
-              else (lambda i, j: (0, 0, 0)))
+    scratch = [pltpu.VMEM((gt, hd), jnp.float32),
+               pltpu.VMEM((gt, 128), jnp.float32),
+               pltpu.VMEM((gt, 128), jnp.float32)]
+    out_shape = jax.ShapeDtypeStruct((bkv, gt, hd), q.dtype)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    nsteps = nl if window is None else min(_cdiv(window, bl) + 1, nl)
+    if window is not None and nsteps < nl:
+        # BLOCK SKIPPING: only the window's blocks are walked — decode
+        # streams O(window) cache bytes instead of O(length).  The first
+        # block per row is precomputed in XLA (division is not allowed in
+        # Mosaic index maps) and fed through scalar prefetch; the index maps
+        # clamp past-the-end duplicates, which the kernel fully masks.
+        fb = jnp.clip((qpos[:, :1] - (window - 1)) // bl, 0, nl - 1)
+        fb = fb.astype(jnp.int32)
+        kernel = functools.partial(
+            _attn_kernel, nl=nsteps, t=t, block_l=bl, length=length,
+            scale=1.0 / float(hd) ** 0.5, quantized=quantized, int4=int4,
+            hd2=hd2, precision=precision, window=window, nl_total=nl)
+        nlt = nl
 
-    kernel = functools.partial(
-        _attn_kernel, nl=nl, t=t, block_l=bl, length=length,
-        scale=1.0 / float(hd) ** 0.5, quantized=quantized, int4=int4,
-        hd2=hd2, precision=precision, window=window)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((bkv, gt, hd), q.dtype),
-        grid=(bkv, nl),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # qpos, whole (bkv, 1)
-            pl.BlockSpec((1, gt, hd), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, bl, kd.shape[-1]), lambda i, j: (i, j, 0)),
-            pl.BlockSpec(sblock, sindex),
-            pl.BlockSpec((1, bl, vd.shape[-1]), lambda i, j: (i, j, 0)),
-            pl.BlockSpec(sblock, sindex),
-        ],
-        out_specs=pl.BlockSpec((1, gt, hd), lambda i, j: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((gt, hd), jnp.float32),
-                        pltpu.VMEM((gt, 128), jnp.float32),
-                        pltpu.VMEM((gt, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interp,
-    )(qpos, qr, kd, ks, vd, vs)
+        def kvi(i, j, qp, f):
+            return (i, jnp.minimum(f[i, 0] + j, nlt - 1), 0)
+
+        def si(i, j, qp, f):
+            if not quantized:
+                return (0, 0, 0)
+            return (i, 0, jnp.minimum(f[i, 0] + j, nlt - 1))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bkv, nsteps),
+            in_specs=[
+                pl.BlockSpec((1, gt, hd), lambda i, j, qp, f: (i, 0, 0)),
+                pl.BlockSpec((1, bl, kd.shape[-1]), kvi),
+                pl.BlockSpec(sblock, si),
+                pl.BlockSpec((1, bl, vd.shape[-1]), kvi),
+                pl.BlockSpec(sblock, si),
+            ],
+            out_specs=pl.BlockSpec((1, gt, hd),
+                                   lambda i, j, qp, f: (i, 0, 0)),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel, out_shape=out_shape, grid_spec=grid_spec,
+            compiler_params=params, interpret=interp,
+        )(qpos, fb, qr, kd, ks, vd, vs)
+    else:
+        sindex = ((lambda i, j: (i, 0, j)) if quantized
+                  else (lambda i, j: (0, 0, 0)))
+        kernel = functools.partial(
+            _attn_kernel, nl=nl, t=t, block_l=bl, length=length,
+            scale=1.0 / float(hd) ** 0.5, quantized=quantized, int4=int4,
+            hd2=hd2, precision=precision, window=window)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(bkv, nl),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # qpos (bkv, 1)
+                pl.BlockSpec((1, gt, hd), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, bl, kd.shape[-1]), lambda i, j: (i, j, 0)),
+                pl.BlockSpec(sblock, sindex),
+                pl.BlockSpec((1, bl, vd.shape[-1]), lambda i, j: (i, j, 0)),
+                pl.BlockSpec(sblock, sindex),
+            ],
+            out_specs=pl.BlockSpec((1, gt, hd), lambda i, j: (i, 0, 0)),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interp,
+        )(qpos, qr, kd, ks, vd, vs)
 
     if int4:  # re-interleave the even|odd AV halves
         out = jnp.stack([out[..., :hd2], out[..., hd2:]],

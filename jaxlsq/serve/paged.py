@@ -282,36 +282,83 @@ def paged_attention(q: jnp.ndarray, layer: PagedKVLayer, cache_index, *,
         vs = ks
         sblock, sindex = (1, 1, 1), (lambda i, j, e, p: (0, 0, 0))
 
-    kernel = functools.partial(
-        _attn_kernel, nl=pps, t=t, block_l=ps, length=pps * ps,
-        scale=1.0 / float(hd) ** 0.5, quantized=layer.quantized, int4=int4,
-        hd2=hd2, precision=precision, window=window)
-
-    def kern(ebt_ref, qpos_ref, *rest):
-        # scalar-prefetch refs lead; _attn_kernel wants qpos first and
-        # never touches the table (the index maps consumed it)
-        kernel(qpos_ref, *rest)
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b * kvh, pps),
-        in_specs=[
-            pl.BlockSpec((1, gt, hd), lambda i, j, e, p: (i, 0, 0)),
-            pl.BlockSpec((1, ps, kd.shape[-1]),
-                         lambda i, j, e, p: (e[i, j], 0, 0)),
-            pl.BlockSpec(sblock, sindex),
-            pl.BlockSpec((1, ps, vd.shape[-1]),
-                         lambda i, j, e, p: (e[i, j], 0, 0)),
-            pl.BlockSpec(sblock, sindex),
-        ],
-        out_specs=pl.BlockSpec((1, gt, hd), lambda i, j, e, p: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((gt, hd), jnp.float32),
-                        pltpu.VMEM((gt, 128), jnp.float32),
-                        pltpu.VMEM((gt, 128), jnp.float32)],
-    )
+    scratch = [pltpu.VMEM((gt, hd), jnp.float32),
+               pltpu.VMEM((gt, 128), jnp.float32),
+               pltpu.VMEM((gt, 128), jnp.float32)]
+    nsteps = pps if window is None else min(-(-window // ps) + 1, pps)
+    if window is not None and nsteps < pps:
+        # BLOCK SKIPPING (serve/attention.py): walk only the window's pages
+        # — decode streams O(window) pool bytes per program.  fb (first
+        # logical page per row) is precomputed in XLA; index maps clamp
+        # past-the-end duplicates through the SAME expanded-table lookup
+        # (still no division inside Mosaic index maps).
+        fb = jnp.clip((qpos[:, :1] - (window - 1)) // ps, 0,
+                      pps - 1).astype(jnp.int32)
+        kernel = functools.partial(
+            _attn_kernel, nl=nsteps, t=t, block_l=ps, length=pps * ps,
+            scale=1.0 / float(hd) ** 0.5, quantized=layer.quantized,
+            int4=int4, hd2=hd2, precision=precision, window=window,
+            nl_total=pps)
+
+        def kern(ebt_ref, qpos_ref, fb_ref, *rest):
+            kernel(qpos_ref, fb_ref, *rest)
+
+        def pgi(i, j, e, qp, f):
+            return (e[i, jnp.minimum(f[i, 0] + j, pps - 1)], 0, 0)
+
+        if layer.quantized:
+            def sidx(i, j, e, qp, f):
+                return (e[i, jnp.minimum(f[i, 0] + j, pps - 1)], 0, 0)
+        else:
+            def sidx(i, j, e, qp, f):
+                return (0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b * kvh, nsteps),
+            in_specs=[
+                pl.BlockSpec((1, gt, hd), lambda i, j, e, qp, f: (i, 0, 0)),
+                pl.BlockSpec((1, ps, kd.shape[-1]), pgi),
+                pl.BlockSpec(sblock, sidx),
+                pl.BlockSpec((1, ps, vd.shape[-1]), pgi),
+                pl.BlockSpec(sblock, sidx),
+            ],
+            out_specs=pl.BlockSpec((1, gt, hd),
+                                   lambda i, j, e, qp, f: (i, 0, 0)),
+            scratch_shapes=scratch,
+        )
+        args = (ebt, qpos, fb, qr, kd, ks, vd, vs)
+    else:
+        kernel = functools.partial(
+            _attn_kernel, nl=pps, t=t, block_l=ps, length=pps * ps,
+            scale=1.0 / float(hd) ** 0.5, quantized=layer.quantized,
+            int4=int4, hd2=hd2, precision=precision, window=window)
+
+        def kern(ebt_ref, qpos_ref, *rest):
+            # scalar-prefetch refs lead; _attn_kernel wants qpos first and
+            # never touches the table (the index maps consumed it)
+            kernel(qpos_ref, *rest)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * kvh, pps),
+            in_specs=[
+                pl.BlockSpec((1, gt, hd), lambda i, j, e, p: (i, 0, 0)),
+                pl.BlockSpec((1, ps, kd.shape[-1]),
+                             lambda i, j, e, p: (e[i, j], 0, 0)),
+                pl.BlockSpec(sblock, sindex),
+                pl.BlockSpec((1, ps, vd.shape[-1]),
+                             lambda i, j, e, p: (e[i, j], 0, 0)),
+                pl.BlockSpec(sblock, sindex),
+            ],
+            out_specs=pl.BlockSpec((1, gt, hd),
+                                   lambda i, j, e, p: (i, 0, 0)),
+            scratch_shapes=scratch,
+        )
+        args = (ebt, qpos, qr, kd, ks, vd, vs)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b * kvh, gt, hd), q.dtype),
@@ -319,7 +366,7 @@ def paged_attention(q: jnp.ndarray, layer: PagedKVLayer, cache_index, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_resolve_interpret(interpret),
-    )(ebt, qpos, qr, kd, ks, vd, vs)
+    )(*args)
 
     if int4:
         out = jnp.stack([out[..., :hd2], out[..., hd2:]],

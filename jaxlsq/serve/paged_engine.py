@@ -103,9 +103,14 @@ class PagedDecodeEngine(DecodeEngine):
         self.page_size = int(page_size)
         self.num_pages = int(num_pages)
         self._deferred: list = []  # FIFO of page-starved requests
+        # sliding-window models (zoo.py attn_window): pages whose every
+        # position slid below every future query's window are dead — free
+        # them mid-flight so deferred admissions unblock before retirement
+        self._window = getattr(model, "attn_window", None)
         super().__init__(model, variables, **kwargs)
         self.stats["admissions_deferred"] = 0
         self.stats["prefix_pages_shared"] = 0
+        self.stats["window_pages_freed"] = 0
 
     # --------------------------------------------------------- device state
 
@@ -399,7 +404,8 @@ class PagedDecodeEngine(DecodeEngine):
 
     def _retire_done(self):
         """Base retirement + return the request's pages to the pool and park
-        the slot's table row on the dummy page."""
+        the slot's table row on the dummy page.  Windowed models also free
+        pages that slid fully out of every future query's window."""
         before = list(self._slots)
         super()._retire_done()
         changed = False
@@ -409,8 +415,45 @@ class PagedDecodeEngine(DecodeEngine):
                 b.pages = None
                 self._table[slot, :] = self._dummy
                 changed = True
+        if self._window is not None:
+            changed |= self._free_slid_pages()
         if changed:
             self._sync_table()
+
+    def _free_slid_pages(self) -> bool:
+        """Free active slots' pages entirely below the sliding window.
+
+        A slot at write position ``pos`` will never again read positions
+        below ``pos - W + 1`` (future queries only move forward), so logical
+        page ``p`` is dead once ``(p+1)*ps <= pos - W + 1``.  Shared prefix
+        pages are refcount-decremented like any other (other sharers keep
+        their reference).  Block-skipping attention never reads below the
+        window's first page; the XLA gather path reads the dummy garbage
+        these entries now point at, but the window mask kills it."""
+        ps = self.page_size
+        changed = False
+        for slot, req in enumerate(self._slots):
+            if req is None or not req.pages:
+                continue
+            base = req.prefix.length if req.prefix is not None else 0
+            pos = base + req.prompt.size + max(len(req.tokens) - 1, 0)
+            last_dead = (pos - self._window + 1) // ps - 1  # (p+1)*ps <= ...
+            if last_dead < 0:
+                continue
+            dead = []
+            for p in range(min(last_dead + 1, self._pps)):
+                pid = int(self._table[slot, p])
+                if pid != self._dummy:
+                    dead.append(pid)
+                    self._table[slot, p] = self._dummy
+            if dead:
+                # a page id can appear only once in req.pages (alloc'd or
+                # shared exactly once per request)
+                self._alloc.free(dead)
+                req.pages = [x for x in req.pages if x not in set(dead)]
+                self.stats["window_pages_freed"] += len(dead)
+                changed = True
+        return changed
 
     # ------------------------------------------------------------- shutdown
 

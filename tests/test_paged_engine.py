@@ -206,6 +206,36 @@ def test_warmup_compiles_and_preserves_exactness(setup):
         out, _reference_tokens(model, variables, p, 4))
 
 
+def test_window_frees_slid_pages(setup):
+    """Sliding-window model (attn_window): pages that slid fully out of
+    every future query's window are freed MID-FLIGHT, unblocking deferred
+    admissions before the long request retires; tokens stay exact vs the
+    windowed lockstep reference."""
+    qc = default_qconfig(8, 8, init_batches=1)
+    model = QuantTransformerLM(vocab=VOCAB, dim=DIM, depth=DEPTH,
+                               num_heads=HEADS, qconfig=qc, max_len=MAXLEN,
+                               attn_window=4)
+    r = np.random.RandomState(12)
+    variables = disable_observer(model.init(
+        jax.random.key(4), jnp.asarray(r.randint(0, VOCAB, (1, 8))),
+        training=False))
+    long_p = r.randint(0, VOCAB, size=4)   # 4 + 8 new → 6 pages of 2
+    short_p = r.randint(0, VOCAB, size=2)  # 2 + 2 new → 2 pages
+    with PagedDecodeEngine(model, variables, num_pages=6, page_size=2,
+                           max_batch=2, prompt_buckets=(4,)) as eng:
+        fa = eng.submit(long_p, 8)   # reserves the whole pool
+        fb = eng.submit(short_p, 2)  # must wait for slid-out pages
+        outs = [fa.result(timeout=300), fb.result(timeout=300)]
+        freed = eng.stats["window_pages_freed"]
+        free_after = _wait_pages(eng, 6)
+    assert freed >= 2  # pages 0..1 died once the window slid past them
+    assert free_after == 6
+    np.testing.assert_array_equal(
+        outs[0], _reference_tokens(model, variables, long_p, 8))
+    np.testing.assert_array_equal(
+        outs[1], _reference_tokens(model, variables, short_p, 2))
+
+
 def test_prefix_cross_engine_rejected(setup):
     model, variables = setup
     with PagedDecodeEngine(model, variables, num_pages=6, page_size=PS,

@@ -136,13 +136,16 @@ def _mk_cache(r, B, KVH, L, HD, layout):
     return k, v
 
 
+@pytest.mark.parametrize("L", [32, 30])  # 30: tail block under skipping
 @pytest.mark.parametrize("layout", ["f32", "int8"])
 @pytest.mark.parametrize("pos", [30, 7])  # 7: whole later blocks masked;
-def test_fused_kernel_window_matches_oracle(layout, pos):
-    """block_l=8 over L=32 → 4 blocks; window 5 leaves most blocks fully
-    masked for early positions — the alpha-wipe path must stay exact."""
+def test_fused_kernel_window_matches_oracle(layout, pos, L):
+    """block_l=8 → 4 blocks; window 5 walks only 2 (block skipping): the
+    fb offset, clamped duplicate steps, and tail-block masking must all
+    compose with the window mask."""
     r = np.random.RandomState(3)
-    B, H, KVH, L, HD, W = 2, 4, 2, 32, 8, 5
+    B, H, KVH, HD, W = 2, 4, 2, 8, 5
+    pos = min(pos, L - 2)
     ck, cv = _mk_cache(r, B, KVH, L, HD, layout)
     q = jnp.asarray(r.randn(B, H, 1, HD).astype(np.float32))
     positions = jnp.asarray([pos, max(pos - 3, 0)], jnp.int32)
