@@ -15,7 +15,8 @@ from .attention import decode_attention
 from .convert import convert, shard_converted, shard_packed, serving_bits
 from .paged import (PageAllocator, PagedKVLayer, init_paged_cache,
                     paged_attention, paged_update, with_table)
-from .paged_engine import PagedDecodeEngine, PagedPrefix
+from .paged_engine import (PagedDecodeEngine, PagedPrefix,
+                           PagedSpeculativeDecodeEngine)
 from .decode import (DecodeEngine, Prefix, SpeculativeDecodeEngine,
                      init_kv_cache,
                      make_beam_search,
@@ -35,7 +36,7 @@ __all__ = [
     "serving_bits",
     "PageAllocator", "PagedKVLayer", "init_paged_cache", "paged_attention",
     "paged_update", "with_table",
-    "PagedDecodeEngine", "PagedPrefix",
+    "PagedDecodeEngine", "PagedPrefix", "PagedSpeculativeDecodeEngine",
     "ServingEngine",
     "DecodeEngine", "Prefix", "init_kv_cache", "make_beam_search", "make_generate", "make_sampler",
     "make_speculative_generate", "SpeculativeDecodeEngine", "prefill",

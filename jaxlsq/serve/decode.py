@@ -1207,18 +1207,42 @@ class SpeculativeDecodeEngine:
         self.eos_id = eos_id
         self.k = k
         self.max_len = min(target.max_len, draft.max_len)
-        self._tcache = init_kv_cache(target, max_batch, dtype=cache_dtype,
-                                     max_len=target.max_len)
-        self._dcache = init_kv_cache(draft, max_batch, dtype=cache_dtype,
-                                     max_len=draft.max_len)
-        park = self.max_len - k - 2  # verify+draft write k+1 rows from pos
-        self._pos = jnp.full((max_batch,), park, jnp.int32)
-        self._park = park
-        self._tok = jnp.zeros((max_batch,), jnp.int32)
+        self._park = self.max_len - k - 2  # verify writes k+1 rows from pos
         self._rng = rng
         self._sampled = temperature > 0.0
+        self._temperature, self._top_k = temperature, top_k
         self._counter = 0
         self.prefill_chunk = prefill_chunk
+        self._build_device_state(cache_dtype)
+
+        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
+        self._slots: list = [None] * max_batch
+        self._pending: list = []  # in-flight chunked admissions (FIFO)
+        self._lifecycle_lock = threading.Lock()
+        self._state_lock = threading.Lock()  # dispatcher iteration vs warmup
+        self._stop = False
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0,
+                      "admission_chunks": 0,
+                      "admission_interleave": deque(maxlen=1024)}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _build_device_state(self, cache_dtype):
+        """Create both models' KV caches + positions and compile wrappers
+        for the three engine programs (admission chunk, final chunk, the
+        speculative round).  ``PagedSpeculativeDecodeEngine`` overrides this
+        with the block-table layout."""
+        max_batch = self.max_batch
+        k = self.k
+        temperature, top_k = self._temperature, self._top_k
+        self._tcache = init_kv_cache(self.target, max_batch,
+                                     dtype=cache_dtype,
+                                     max_len=self.target.max_len)
+        self._dcache = init_kv_cache(self.draft, max_batch, dtype=cache_dtype,
+                                     max_len=self.draft.max_len)
+        self._pos = jnp.full((max_batch,), self._park, jnp.int32)
+        self._tok = jnp.zeros((max_batch,), jnp.int32)
         sampled = self._sampled
 
         def _chunk(tvars, dvars, t_sc, d_sc, tokens, start):
@@ -1254,7 +1278,19 @@ class SpeculativeDecodeEngine:
                 first = jnp.argmax(last, -1).astype(jnp.int32)
             return tcache, dcache, first
 
+        _round = self._build_round_fn()
+        self._chunk_fn = jax.jit(_chunk, donate_argnums=(2, 3))
+        self._final_fn = jax.jit(_final_chunk, donate_argnums=(2, 3, 4, 5))
+        self._round_fn = jax.jit(_round, donate_argnums=(2, 3))
+
+    def _build_round_fn(self):
+        """The speculative round program (greedy or accept/reject sampled).
+        Cache-layout agnostic: caches flow through ``model.apply`` as
+        pytrees, so the SAME program serves dense and paged layouts (the
+        paged engine re-jits it over its own cache structure)."""
         kk = self.k
+        sampled = self._sampled
+        temperature, top_k = self._temperature, self._top_k
 
         def _round_greedy(tvars, dvars, tcache, dcache, last, pos, key):
             def draft_step(c, _):
@@ -1328,23 +1364,7 @@ class SpeculativeDecodeEngine:
             pos = jnp.minimum(pos + len_e, self._park)
             return tcache, dcache, emit, len_e, z, pos
 
-        _round = _round_sampled if sampled else _round_greedy
-        self._chunk_fn = jax.jit(_chunk, donate_argnums=(2, 3))
-        self._final_fn = jax.jit(_final_chunk, donate_argnums=(2, 3, 4, 5))
-        self._round_fn = jax.jit(_round, donate_argnums=(2, 3))
-
-        self._queue: "queue.Queue[_GenRequest]" = queue.Queue()
-        self._slots: list = [None] * max_batch
-        self._pending: list = []  # in-flight chunked admissions (FIFO)
-        self._lifecycle_lock = threading.Lock()
-        self._state_lock = threading.Lock()  # dispatcher iteration vs warmup
-        self._stop = False
-        self.max_wait_s = max_wait_ms / 1e3
-        self.stats = {"requests": 0, "rounds": 0, "accepted_tokens": 0,
-                      "admission_chunks": 0,
-                      "admission_interleave": deque(maxlen=1024)}
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        return _round_sampled if sampled else _round_greedy
 
     def register_prefix(self, tokens) -> Prefix:
         """Prefill a shared prompt prefix through BOTH models' private slot
@@ -1446,6 +1466,7 @@ class SpeculativeDecodeEngine:
     _check_prefix = DecodeEngine._check_prefix
     _padded_admit_len = DecodeEngine._padded_admit_len
     _stage_prefix_tokens = DecodeEngine._stage_prefix_tokens
+    _stage_admissions = DecodeEngine._stage_admissions
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission (both
@@ -1517,18 +1538,7 @@ class SpeculativeDecodeEngine:
                 return
             self._state_lock.acquire()
             reserved = {p.slot for p in self._pending}
-            for slot in range(self.max_batch):
-                if self._slots[slot] is None and slot not in reserved:
-                    try:
-                        req = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    try:
-                        self._start_admit(req, slot)
-                        reserved.add(slot)
-                    except Exception as e:  # pragma: no cover
-                        if not req.future.done():  # may be cancelled
-                            req.future.set_exception(e)
+            self._stage_admissions(reserved)
             # one admission chunk per iteration: active slots' round gap is
             # bounded by one chunk's compute (see DecodeEngine._loop)
             if self._pending:

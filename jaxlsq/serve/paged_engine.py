@@ -54,10 +54,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode import DecodeEngine, Prefix, _PendingAdmit
+from .decode import (DecodeEngine, Prefix, SpeculativeDecodeEngine,
+                     _PendingAdmit)
 from .paged import PageAllocator, init_paged_cache, with_table
 
-__all__ = ["PagedDecodeEngine", "PagedPrefix"]
+__all__ = ["PagedDecodeEngine", "PagedPrefix",
+           "PagedSpeculativeDecodeEngine"]
 
 
 class PagedPrefix(Prefix):
@@ -469,3 +471,321 @@ class PagedDecodeEngine(DecodeEngine):
             if not req.future.done():
                 req.future.cancel()
         super()._cancel_pending()
+
+
+class PagedSpeculativeDecodeEngine(SpeculativeDecodeEngine):
+    """`SpeculativeDecodeEngine` over paged KV memory.
+
+    Composes the two serving disciplines: every engine round advances all
+    slots by a draft-propose/target-verify step (1..k+1 tokens), and both
+    models' caches live in block-table page pools.  Because the target and
+    the draft decode in POSITION LOCKSTEP, one allocator and ONE block table
+    serve both: page id p backs the same positions in the target pools and
+    the draft pools (each sized ``num_pages`` per layer), so sharing,
+    deferral, and retirement bookkeeping stay identical to
+    :class:`PagedDecodeEngine`.  Requires ``target.max_len == draft.max_len``
+    (one table cannot map two different logical page grids).
+
+    Page reservation covers the verify headroom: rounds write ``k+1`` rows
+    beyond the last accepted position, so a request reserves pages through
+    ``base + prompt + n_new + k + 1`` (the bound ``submit`` already
+    enforces against ``max_len``).  The round program itself is the dense
+    engine's — caches flow through ``model.apply`` as pytrees — re-jitted
+    over the paged cache structure.
+    """
+
+    def __init__(self, target, draft, target_vars, draft_vars, *,
+                 num_pages: int, page_size: int = 128, **kwargs):
+        if page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        if target.max_len != draft.max_len:
+            raise ValueError(
+                "paged speculative serving shares ONE block table between "
+                f"the target and draft pools: max_len must match (got "
+                f"{target.max_len} vs {draft.max_len})")
+        self.page_size = int(page_size)
+        self.num_pages = int(num_pages)
+        self._deferred: list = []
+        super().__init__(target, draft, target_vars, draft_vars, **kwargs)
+        self.stats["admissions_deferred"] = 0
+        self.stats["prefix_pages_shared"] = 0
+
+    # --------------------------------------------------------- device state
+
+    def _build_device_state(self, cache_dtype):
+        ps = self.page_size
+        self._pps = -(-self.max_len // ps)
+        if self.num_pages < 1:
+            raise ValueError("num_pages must be >= 1")
+        self._dummy = self.num_pages
+        self._alloc = PageAllocator(self.num_pages)
+        self._table = np.full((self.max_batch, self._pps), self._dummy,
+                              np.int32)
+        self._tcache = init_paged_cache(
+            self.target, self.max_batch, page_size=ps,
+            num_pages=self.num_pages + 1, dtype=cache_dtype,
+            table=self._table)
+        self._dcache = init_paged_cache(
+            self.draft, self.max_batch, page_size=ps,
+            num_pages=self.num_pages + 1, dtype=cache_dtype,
+            table=self._table)
+        self._pos = jnp.full((self.max_batch,), self._park, jnp.int32)
+        self._tok = jnp.zeros((self.max_batch,), jnp.int32)
+        target, draft = self.target, self.draft
+        sampled = self._sampled
+        temperature, top_k = self._temperature, self._top_k
+
+        def _chunk(tvars, dvars, tcache, dcache, tokens, start):
+            """One admission chunk straight into the slot's reserved pages
+            of BOTH pools (caches arrive re-pointed at the slot's row)."""
+            _, tcache = target.apply(tvars, tokens, cache=tcache,
+                                     cache_index=start)
+            _, dcache = draft.apply(dvars, tokens, cache=dcache,
+                                    cache_index=start)
+            return tcache, dcache
+
+        def _final_chunk(tvars, dvars, tcache, dcache, tokens, start,
+                         true_len, key):
+            tlogits, tcache = target.apply(tvars, tokens, cache=tcache,
+                                           cache_index=start)
+            _, dcache = draft.apply(dvars, tokens, cache=dcache,
+                                    cache_index=start)
+            last = jax.lax.dynamic_index_in_dim(
+                tlogits[0], true_len - 1 - start, axis=0, keepdims=False)
+            if sampled:
+                from .decode import _filter_logits
+                first = jax.random.categorical(
+                    key, _filter_logits(last, temperature, top_k)
+                ).astype(jnp.int32)
+            else:
+                first = jnp.argmax(last, -1).astype(jnp.int32)
+            return tcache, dcache, first
+
+        _round = self._build_round_fn()
+        self._chunk_fn = jax.jit(_chunk, donate_argnums=(2, 3))
+        self._final_fn = jax.jit(_final_chunk, donate_argnums=(2, 3))
+        self._round_fn = jax.jit(_round, donate_argnums=(2, 3))
+        self._copy_fn = jax.jit(self._make_copy(), donate_argnums=(0, 1))
+
+    @staticmethod
+    def _make_copy():
+        def _copy_page(tcache, dcache, src, dst):
+            def cp(pool):
+                row = jax.lax.dynamic_index_in_dim(pool, src, 0,
+                                                   keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(pool, row, dst, 0)
+
+            def one(cache):
+                return tuple(
+                    layer.replace(
+                        kp=cp(layer.kp), vp=cp(layer.vp),
+                        **({"ks": cp(layer.ks), "vs": cp(layer.vs)}
+                           if layer.quantized else {}))
+                    for layer in cache)
+
+            return one(tcache), one(dcache)
+
+        return _copy_page
+
+    def _sync_table(self):
+        t = jnp.asarray(self._table)
+        self._tcache = with_table(self._tcache, t)
+        self._dcache = with_table(self._dcache, t)
+
+    def _pages_needed(self, size: int, n_new: int, prefix) -> int:
+        """As PagedDecodeEngine, plus the k+1 verify-headroom rows a round
+        may write beyond the last accepted position."""
+        base = prefix.length if prefix is not None else 0
+        end = base + max(self._padded_admit_len(size),
+                         size + n_new + self.k + 1)
+        shared = (base // self.page_size) if prefix is not None else 0
+        return -(-end // self.page_size) - shared
+
+    # ------------------------------------------------------------------ API
+
+    def warmup(self):
+        """Compile the round + chunk programs; resets pools and positions."""
+        with self._state_lock:
+            if (any(s is not None for s in self._slots) or self._pending
+                    or self._deferred):
+                raise RuntimeError("warmup() must run before requests are "
+                                   "in flight (it resets the KV caches)")
+            zeros = jnp.zeros((self.max_batch,), jnp.int32)
+            tc, dc, *_ = self._round_fn(self.tvars, self.dvars, self._tcache,
+                                        self._dcache, zeros, self._pos,
+                                        self._next_key())
+            row = np.full((1, self._pps), self._dummy, np.int32)
+            for c in sorted({self._chunk_len(b) for b in self.buckets}):
+                toks = jnp.zeros((1, c), jnp.int32)
+                tc1 = with_table(tc, jnp.asarray(row))
+                dc1 = with_table(dc, jnp.asarray(row))
+                tc1, dc1 = self._chunk_fn(self.tvars, self.dvars, tc1, dc1,
+                                          toks, jnp.asarray(0, jnp.int32))
+                tc, dc, first = self._final_fn(
+                    self.tvars, self.dvars, tc1, dc1, toks,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
+                    self._next_key())
+                jax.block_until_ready(first)
+            tc, dc = self._copy_fn(tc, dc, jnp.asarray(self._dummy,
+                                                       jnp.int32),
+                                   jnp.asarray(self._dummy, jnp.int32))
+            self._tcache = jax.tree.map(jnp.zeros_like, tc)
+            self._dcache = jax.tree.map(jnp.zeros_like, dc)
+            self._sync_table()
+            self._pos = jnp.full((self.max_batch,), self._park, jnp.int32)
+
+    def register_prefix(self, tokens) -> PagedPrefix:
+        """One set of pool pages backs the prefix in BOTH models' pools
+        (position lockstep); admissions share them zero-copy."""
+        tokens, padded, c, n_chunks = self._stage_prefix_tokens(tokens)
+        n_pages = -(-tokens.size // self.page_size)
+        with self._state_lock:
+            pages = self._alloc.alloc(n_pages)
+        row = np.full((1, self._pps), self._dummy, np.int32)
+        row[0, :n_pages] = pages
+        for i in range(n_chunks):
+            with self._state_lock:
+                try:
+                    tc = with_table(self._tcache, jnp.asarray(row))
+                    dc = with_table(self._dcache, jnp.asarray(row))
+                    tc, dc = self._chunk_fn(
+                        self.tvars, self.dvars, tc, dc,
+                        jnp.asarray(padded[:, i * c:(i + 1) * c]),
+                        jnp.asarray(i * c, jnp.int32))
+                    t = jnp.asarray(self._table)
+                    self._tcache = with_table(tc, t)
+                    self._dcache = with_table(dc, t)
+                except Exception:
+                    with self._lifecycle_lock:
+                        self._stop = True  # pools possibly donated
+                    raise
+        jax.block_until_ready(jax.tree.leaves(self._tcache)[0])
+        return PagedPrefix(tokens, int(tokens.size), self, pages,
+                           self.page_size)
+
+    _check_prefix = PagedDecodeEngine._check_prefix
+
+    def submit(self, prompt, n_new: int, *, prefix: Optional[Prefix] = None):
+        size = np.asarray(prompt).size
+        if (0 < size <= self.buckets[-1]
+                and (prefix is None or isinstance(prefix, PagedPrefix))):
+            need = self._pages_needed(size, n_new, prefix)
+            if need > self.num_pages:
+                raise ValueError(
+                    f"request needs {need} pages (> pool {self.num_pages}); "
+                    "raise num_pages or shorten prompt/n_new")
+        return super().submit(prompt, n_new, prefix=prefix)
+
+    # ----------------------------------------------------------- dispatcher
+
+    _stage_admissions = PagedDecodeEngine._stage_admissions
+
+    def _start_admit(self, req, slot: int):
+        """As PagedDecodeEngine._start_admit, with the partial prefix page
+        copied in BOTH pools (same fresh page id backs both)."""
+        ps = self.page_size
+        b = next(b for b in self.buckets if b >= req.prompt.size)
+        c = self._chunk_len(b)
+        n_chunks = -(-req.prompt.size // c)
+        padded = np.zeros((1, n_chunks * c), np.int32)
+        padded[0, : req.prompt.size] = req.prompt
+        base = req.prefix.length if req.prefix is not None else 0
+        fresh = self._alloc.alloc(
+            self._pages_needed(req.prompt.size, req.n_new, req.prefix))
+        row = np.full(self._pps, self._dummy, np.int32)
+        owned = list(fresh)
+        if req.prefix is not None:
+            shared = base // ps
+            shared_pages = list(req.prefix.pages[:shared])
+            self._alloc.share(shared_pages)
+            owned += shared_pages
+            row[:shared] = shared_pages
+            row[shared:shared + len(fresh)] = fresh
+            if base % ps:
+                try:
+                    self._tcache, self._dcache = self._copy_fn(
+                        self._tcache, self._dcache,
+                        jnp.asarray(req.prefix.pages[shared], jnp.int32),
+                        jnp.asarray(fresh[0], jnp.int32))
+                except Exception:
+                    with self._lifecycle_lock:
+                        self._stop = True
+                    raise
+            self.stats["prefix_pages_shared"] += shared
+        else:
+            row[: len(fresh)] = fresh
+        req.pages = owned
+        req.slot = slot
+        self._table[slot, :] = row
+        self._sync_table()
+        self._pending.append(_PendingAdmit(
+            req=req, slot=slot, slot_cache=None, chunk_idx=0,
+            n_chunks=n_chunks, padded=padded, c=c,
+            steps_at_start=self.stats["rounds"], base=base))
+
+    def _advance_admission(self, p):
+        """One chunk into BOTH pools through the slot's one-row table; a
+        failed chunk is fatal (pools may be donated)."""
+        i = p.chunk_idx
+        toks = jnp.asarray(p.padded[:, i * p.c:(i + 1) * p.c])
+        start = jnp.asarray(p.base + i * p.c, jnp.int32)
+        row = jnp.asarray(self._table[p.slot: p.slot + 1])
+        tc = with_table(self._tcache, row)
+        dc = with_table(self._dcache, row)
+        try:
+            if i < p.n_chunks - 1:
+                tc, dc = self._chunk_fn(self.tvars, self.dvars, tc, dc,
+                                        toks, start)
+                p.chunk_idx += 1
+            else:
+                tc, dc, first = self._final_fn(
+                    self.tvars, self.dvars, tc, dc, toks, start,
+                    jnp.asarray(p.base + p.req.prompt.size, jnp.int32),
+                    self._next_key())
+        except Exception:
+            with self._lifecycle_lock:
+                self._stop = True
+            raise
+        t = jnp.asarray(self._table)
+        self._tcache = with_table(tc, t)
+        self._dcache = with_table(dc, t)
+        if i == p.n_chunks - 1:
+            self._tok = self._tok.at[p.slot].set(first)
+            self._pos = self._pos.at[p.slot].set(p.base + p.req.prompt.size)
+            p.req.tokens.append(int(first))
+            self._slots[p.slot] = p.req
+            self._pending.remove(p)
+            self.stats["requests"] += 1
+            self.stats["admission_interleave"].append(
+                self.stats["rounds"] - p.steps_at_start)
+        self.stats["admission_chunks"] += 1
+
+    def _retire_done(self):
+        before = list(self._slots)
+        super()._retire_done()
+        changed = False
+        for slot, (b, a) in enumerate(zip(before, self._slots)):
+            if b is not None and a is None:
+                self._alloc.free(b.pages or ())
+                b.pages = None
+                self._table[slot, :] = self._dummy
+                changed = True
+        if changed:
+            self._sync_table()
+
+    # ------------------------------------------------------------- shutdown
+    # (explicit, not borrowed from PagedDecodeEngine: its methods call
+    # zero-arg super(), whose class cell binds to PagedDecodeEngine)
+
+    def _fail_pending(self, exc):
+        deferred, self._deferred = self._deferred, []
+        for req in deferred:
+            if not req.future.done():
+                req.future.set_exception(exc)
+        SpeculativeDecodeEngine._fail_pending(self, exc)
+
+    def _cancel_pending(self):
+        for req in self._deferred:
+            if not req.future.done():
+                req.future.cancel()
+        SpeculativeDecodeEngine._cancel_pending(self)
