@@ -90,6 +90,22 @@ def main():
           f"tokens served from the shared prefill "
           f"({len(pouts)} requests x {len(system_prompt)} prefix tokens)")
 
+    # Paged KV memory: the same engine discipline over block-table page
+    # pools — cache HBM scales with the pages live requests use, and the
+    # shared prefix is shared ZERO-COPY (slots point at the handle's pages).
+    from jaxlsq.serve import PagedDecodeEngine
+
+    with PagedDecodeEngine(gen_model, serve_vars, num_pages=24, page_size=8,
+                           max_batch=4, prompt_buckets=(8,)) as geng:
+        h = geng.register_prefix(system_prompt)
+        gfuts = [geng.submit(r.randint(0, 256, size=4), n_new=8, prefix=h)
+                 for _ in range(4)]
+        gouts = [f.result(timeout=600) for f in gfuts]
+    print(f"paged serving: {len(gouts)} requests, "
+          f"{geng.stats['prefix_pages_shared']} prefix pages shared "
+          f"zero-copy, {geng.stats['admissions_deferred']} deferred on pool "
+          f"backpressure ({geng._alloc.num_pages} pages of {geng.page_size})")
+
     # AOT deployment artifact: the whole scan-fused greedy generate loop as
     # a versioned StableHLO blob — weights remain call-time arguments.
     from jaxlsq.serve import export_generate, load_exported

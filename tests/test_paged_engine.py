@@ -73,7 +73,7 @@ def _reference_tokens(model, variables, prompt, n_new, cache_dtype=None):
     return np.asarray(toks[:n_new], np.int32)
 
 
-@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8])
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, jnp.int8, jnp.int4])
 def test_staggered_matches_lockstep(setup, cache_dtype):
     model, variables = setup
     r = np.random.RandomState(6)
