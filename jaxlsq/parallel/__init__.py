@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .fsdp import fsdp_sharding
 from .moe import EXPERT_SCOPES, moe_sharding
 from .pipeline import (
     create_pipeline_state,
@@ -25,7 +26,7 @@ from .train import (
 __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "initialize_distributed",
-    "moe_sharding", "EXPERT_SCOPES",
+    "moe_sharding", "EXPERT_SCOPES", "fsdp_sharding",
     "pipeline_mesh", "create_pipeline_state", "make_pipeline_train_step",
     "pipeline_sharding", "stack_pipeline_variables",
     "unstack_pipeline_variables",

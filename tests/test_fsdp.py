@@ -1,0 +1,165 @@
+"""FSDP / ZeRO-3 sharded QAT training (parallel/fsdp.py) on the virtual
+8-device mesh (SURVEY.md §4 "Distributed tests without a cluster").
+
+Pins the three claims the module docstring makes:
+  * placement — large kernels and their optimizer mirrors shard over 'data',
+    quantizer state / small leaves / counters replicate;
+  * exactness — the FSDP step produces the same states as the replicated DP
+    step (placement-only change; GSPMD preserves the logical program);
+  * memory+structure — parameter buffers really live at 1/N per device, and
+    the compiled HLO gathers parameters at use instead of holding them
+    replicated.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from jaxlsq.models import QuantMLP, default_qconfig
+from jaxlsq.parallel import (
+    create_train_state,
+    fsdp_sharding,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+D_IN = 32
+
+
+def _setup():
+    qc = default_qconfig(8, 8, init_batches=1, per_channel_weights=True)
+    model = QuantMLP(features=(64, 64, 8), qconfig=qc)
+    tx = optax.sgd(1e-2, momentum=0.9)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(16, D_IN).astype(np.float32))
+    state = create_train_state(model, tx, x0)
+    batches = [
+        {"input": jnp.asarray(rng.randn(16, D_IN).astype(np.float32)),
+         "label": jnp.asarray(rng.randint(0, 8, size=(16,)))}
+        for _ in range(3)
+    ]
+    return model, tx, state, batches
+
+
+def _sharded_leaf_count(tree):
+    return sum(sh.spec != P()
+               for sh in jax.tree_util.tree_leaves(tree))
+
+
+def test_fsdp_placement():
+    mesh = make_mesh()
+    _, _, state, _ = _setup()
+    sh = fsdp_sharding(mesh, state)
+
+    # the two >=1024-element kernels shard; the (64, 8) head kernel (512
+    # elements < min_size), biases, and counters replicate
+    k0 = sh.params["params"]["dense_0"]["kernel"].spec
+    k1 = sh.params["params"]["dense_1"]["kernel"].spec
+    assert "data" in k0 and "data" in k1
+    assert sh.params["params"]["head"]["kernel"].spec == P()
+    assert sh.params["params"]["dense_0"]["bias"].spec == P()
+    assert sh.step.spec == P()
+
+    # quantizer collections replicate wholesale
+    assert all(s.spec == P()
+               for s in jax.tree_util.tree_leaves(sh.params["qparams"]))
+    assert all(s.spec == P()
+               for s in jax.tree_util.tree_leaves(sh.model_state))
+
+    # optimizer mirrors (SGD momentum traces the param tree through the same
+    # paths) shard exactly where their parameters do
+    assert _sharded_leaf_count(sh.opt_state) == _sharded_leaf_count(sh.params)
+
+    # the sharded dimension is the LARGEST divisible one: (32, 64) → dim 1
+    kernel = state.params["params"]["dense_0"]["kernel"]
+    assert kernel.shape == (D_IN, 64)
+    assert k0 == P(None, "data")
+
+
+def test_fsdp_step_matches_replicated_dp():
+    """Placement-only change: FSDP states == replicated-DP states, step for
+    step (same logical program; GSPMD inserts gather/scatter collectives)."""
+    mesh = make_mesh()
+    model, tx, state0, batches = _setup()
+
+    step_dp = make_train_step(model, tx, mesh=mesh, donate=False)
+    sh = fsdp_sharding(mesh, state0)
+    step_fsdp = make_train_step(model, tx, mesh=mesh, donate=False,
+                                state_sharding=sh)
+
+    s_dp = jax.device_put(state0, fsdp_sharding(mesh, state0, min_size=1 << 62))
+    s_fs = jax.device_put(state0, sh)
+    for batch in batches:
+        b = shard_batch(batch, mesh)
+        s_dp, m_dp = step_dp(s_dp, b)
+        s_fs, m_fs = step_fsdp(s_fs, b)
+        np.testing.assert_allclose(np.asarray(m_dp["loss"]),
+                                   np.asarray(m_fs["loss"]),
+                                   rtol=1e-6, atol=1e-7)
+
+    flat_dp = jax.tree_util.tree_leaves_with_path(s_dp.params)
+    flat_fs = dict(jax.tree_util.tree_leaves_with_path(s_fs.params))
+    assert flat_dp and len(flat_dp) == len(flat_fs)
+    for path, leaf in flat_dp:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_fs[path]),
+            rtol=1e-6, atol=1e-7, err_msg=jax.tree_util.keystr(path))
+
+
+def test_fsdp_memory_and_collective_structure():
+    """Each sharded parameter buffer holds 1/8 of the elements per device,
+    and the compiled program all-gathers parameters at use (ZeRO-3), instead
+    of keeping them resident replicated."""
+    mesh = make_mesh()
+    model, tx, state0, batches = _setup()
+    sh = fsdp_sharding(mesh, state0)
+    step = make_train_step(model, tx, mesh=mesh, donate=False,
+                           state_sharding=sh)
+
+    s = jax.device_put(state0, sh)
+    kernel = s.params["params"]["dense_0"]["kernel"]
+    assert kernel.addressable_shards[0].data.size == kernel.size // 8
+
+    b = shard_batch(batches[0], mesh)
+    text = step.lower(s, b).compile().as_text()
+    # parameters are gathered AT USE (ZeRO-3), so the FSDP program contains
+    # all-gathers where the replicated-DP program has none
+    assert "all-gather" in text
+    step_dp = make_train_step(model, tx, mesh=mesh, donate=False)
+    s_dp = jax.device_put(state0,
+                          fsdp_sharding(mesh, state0, min_size=1 << 62))
+    text_dp = step_dp.lower(s_dp, b).compile().as_text()
+    assert "all-gather" not in text_dp
+    # the gradient lands on the shard: reduce-scatter on TPU/GPU pipelines;
+    # the CPU partitioner keeps the equivalent all-reduce + dynamic-slice
+    # (the ReduceScatterCreator rewrite doesn't run there)
+    assert "reduce-scatter" in text or (
+        "all-reduce" in text and "dynamic-slice" in text)
+
+    s1, _ = step(s, b)
+    k1 = s1.params["params"]["dense_0"]["kernel"]
+    assert k1.addressable_shards[0].data.size == k1.size // 8
+
+
+def test_fsdp_eval_step():
+    mesh = make_mesh()
+    model, tx, state0, batches = _setup()
+    sh = fsdp_sharding(mesh, state0)
+    ev_rep = make_eval_step(model, mesh=mesh)
+    ev_fs = make_eval_step(model, mesh=mesh, state_sharding=sh)
+    s_rep = jax.device_put(state0, fsdp_sharding(mesh, state0,
+                                                 min_size=1 << 62))
+    s_fs = jax.device_put(state0, sh)
+    b = shard_batch(batches[0], mesh)
+    np.testing.assert_allclose(np.asarray(ev_rep(s_rep, b)),
+                               np.asarray(ev_fs(s_fs, b)),
+                               rtol=1e-6, atol=1e-6)
