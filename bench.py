@@ -389,7 +389,9 @@ def main():
     print(json.dumps({
         "metric": "fused fake-quant fwd+bwd HBM roofline fraction",
         "value": round(frac, 4),
-        "unit": "fraction of roofline (target >=0.80)",
+        "unit": ("fraction of roofline, effective-byte convention "
+                 "(target >=0.80; convention pinned in BASELINE.md — "
+                 "regressions read from frac_of_achievable)"),
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "backend": jax.default_backend(),

@@ -62,9 +62,21 @@ def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data",
     """
     n = mesh.shape[axis]
 
+    def collection_key(path):
+        """The COLLECTION-level dict key: the first DictKey on the path.
+        For a variables dict that is the top-level collection name; for a
+        QATTrainState (or optimizer mirrors built from the param tree) the
+        attribute hops (.params/.opt_state/...mu) precede it.  Matching only
+        this key — not every path component — keeps a user model free to
+        name a submodule or parameter 'losses'/'batch_stats' etc. without
+        silently replicating its kernel."""
+        for k in path:
+            if isinstance(k, jax.tree_util.DictKey):
+                return k.key
+        return None
+
     def one(path, leaf):
-        keys = {getattr(k, "key", getattr(k, "name", None)) for k in path}
-        if keys & _REPLICATED_SCOPES:
+        if collection_key(path) in _REPLICATED_SCOPES:
             return NamedSharding(mesh, P())
         if (not hasattr(leaf, "ndim") or leaf.ndim == 0
                 or leaf.size < min_size):

@@ -1457,16 +1457,41 @@ class SpeculativeDecodeEngine:
     def __exit__(self, *exc):
         self.close()
 
-    _fail_pending = DecodeEngine._fail_pending
-    _drain_queue = DecodeEngine._drain_queue
-    _cancel_pending = DecodeEngine._cancel_pending
-    _next_key = DecodeEngine._next_key
-    _chunk_len = DecodeEngine._chunk_len
-    _finished = DecodeEngine._finished
-    _check_prefix = DecodeEngine._check_prefix
-    _padded_admit_len = DecodeEngine._padded_admit_len
-    _stage_prefix_tokens = DecodeEngine._stage_prefix_tokens
-    _stage_admissions = DecodeEngine._stage_admissions
+    # Explicit delegation, NOT `_x = DecodeEngine._x` class-level borrowing:
+    # a borrowed method's zero-arg super() binds to the DEFINING class (the
+    # bug paged_engine.py's shutdown path hit), so the next edit to any of
+    # these in DecodeEngine could break here silently.  Real `def`s keep the
+    # defining class correct and the shared logic in one place.
+
+    def _fail_pending(self, exc):
+        DecodeEngine._fail_pending(self, exc)
+
+    def _drain_queue(self):
+        return DecodeEngine._drain_queue(self)
+
+    def _cancel_pending(self):
+        DecodeEngine._cancel_pending(self)
+
+    def _next_key(self):
+        return DecodeEngine._next_key(self)
+
+    def _chunk_len(self, bucket: int) -> int:
+        return DecodeEngine._chunk_len(self, bucket)
+
+    def _finished(self, req: _GenRequest) -> bool:
+        return DecodeEngine._finished(self, req)
+
+    def _check_prefix(self, prefix, n_models: int):
+        DecodeEngine._check_prefix(self, prefix, n_models)
+
+    def _padded_admit_len(self, size: int) -> int:
+        return DecodeEngine._padded_admit_len(self, size)
+
+    def _stage_prefix_tokens(self, tokens) -> tuple:
+        return DecodeEngine._stage_prefix_tokens(self, tokens)
+
+    def _stage_admissions(self, reserved: set):
+        DecodeEngine._stage_admissions(self, reserved)
 
     def _start_admit(self, req: _GenRequest, slot: int):
         """Reserve a slot and stage the prompt for chunked admission (both

@@ -21,3 +21,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+# -m smoke: fast foundational subset (VERDICT r3 next-#9) — numeric contract
+# (golden), functional API, observer state machine, end-to-end QAT, serving
+# convert/matmul, and one engine-exactness test.  ~5 min on this machine vs
+# ~45 min for the full suite; run per-change, full suite per-milestone.
+_SMOKE_MODULES = {
+    "test_golden", "test_functional", "test_observer", "test_qat_e2e",
+    "test_serve",
+}
+_SMOKE_NODES = (
+    "test_decode.py::TestDecodeEngine::test_staggered_requests_match_lockstep",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item.module, "__name__", "")
+        if name in _SMOKE_MODULES or any(n in item.nodeid
+                                         for n in _SMOKE_NODES):
+            item.add_marker(pytest.mark.smoke)

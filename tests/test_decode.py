@@ -1477,3 +1477,82 @@ class TestRoPE:
         state, metrics = step(state, {"input": tokens[:, :8],
                                       "label": tokens[:, :8]})
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestEngineShutdown:
+    """Closing an engine whose dispatcher thread is STUCK (e.g. blocked in a
+    first remote compile) must cancel pending futures rather than hang or
+    set_exception (which would make the stuck dispatcher's later set_result
+    raise InvalidStateError and die holding the state lock).  Regression
+    cover for the close paths that SpeculativeDecodeEngine delegates to
+    DecodeEngine explicitly."""
+
+    class _StuckThread:
+        """Stands in for a dispatcher thread that never exits."""
+
+        def join(self, timeout=None):
+            pass
+
+        def is_alive(self):
+            return True
+
+    def _freeze(self, eng):
+        """Stop the real dispatcher cleanly, then swap in an always-alive
+        dummy so close() takes the stuck branch deterministically."""
+        with eng._lifecycle_lock:
+            eng._stop = True
+        eng._thread.join(timeout=60)
+        assert not eng._thread.is_alive()
+        eng._stop = False  # close() will re-set it
+        eng._thread = self._StuckThread()
+
+    def test_close_stuck_decode_engine_cancels_pending(self, qat_setup):
+        from concurrent.futures import CancelledError
+
+        from jaxlsq.serve.decode import DecodeEngine, _GenRequest
+
+        model, variables, _, _ = qat_setup
+        eng = DecodeEngine(model, variables, max_batch=2, prompt_buckets=(4,))
+        self._freeze(eng)
+        queued = _GenRequest(np.arange(3, dtype=np.int32), 2)
+        eng._queue.put(queued)                       # unserved queue entry
+        slotted = _GenRequest(np.arange(3, dtype=np.int32), 2)
+        eng._slots[0] = slotted                      # mid-flight slot entry
+        eng.close()
+        for req in (queued, slotted):
+            with pytest.raises(CancelledError):
+                req.future.result(timeout=0)
+        # the dispatcher's set_result on a cancelled future must be a no-op
+        assert slotted.future.done()
+
+    def test_close_stuck_speculative_engine_cancels_pending(self, qat_setup):
+        from concurrent.futures import CancelledError
+
+        from jaxlsq.serve.decode import SpeculativeDecodeEngine, _GenRequest
+
+        model, variables, _, _ = qat_setup
+        eng = SpeculativeDecodeEngine(model, model, variables, variables,
+                                      max_batch=2, prompt_buckets=(4,), k=2)
+        self._freeze(eng)
+        queued = _GenRequest(np.arange(3, dtype=np.int32), 2)
+        eng._queue.put(queued)
+        eng.close()
+        with pytest.raises(CancelledError):
+            queued.future.result(timeout=0)
+
+    def test_clean_close_fails_pending_with_runtime_error(self, qat_setup):
+        """The non-stuck branch: anything enqueued after the dispatcher's
+        last check gets a RuntimeError, not a cancel."""
+        from jaxlsq.serve.decode import DecodeEngine, _GenRequest
+
+        model, variables, _, _ = qat_setup
+        eng = DecodeEngine(model, variables, max_batch=2, prompt_buckets=(4,))
+        with eng._lifecycle_lock:
+            eng._stop = True
+        eng._thread.join(timeout=60)
+        assert not eng._thread.is_alive()
+        late = _GenRequest(np.arange(3, dtype=np.int32), 2)
+        eng._queue.put(late)
+        eng.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            late.future.result(timeout=0)

@@ -140,14 +140,44 @@ def test_fsdp_memory_and_collective_structure():
     text_dp = step_dp.lower(s_dp, b).compile().as_text()
     assert "all-gather" not in text_dp
     # the gradient lands on the shard: reduce-scatter on TPU/GPU pipelines;
-    # the CPU partitioner keeps the equivalent all-reduce + dynamic-slice
-    # (the ReduceScatterCreator rewrite doesn't run there)
-    assert "reduce-scatter" in text or (
-        "all-reduce" in text and "dynamic-slice" in text)
+    # the CPU partitioner (no ReduceScatterCreator rewrite) instead computes
+    # the kernel gradient DIRECTLY at shard shape — a backward dot producing
+    # f32[32,8] (the (32, 64) kernel's 1/8 shard).  Pin that dot rather than
+    # "any all-reduce + any dynamic-slice" (which unrelated observer
+    # reductions would satisfy).
+    import re
+
+    grad_dots = [
+        l for l in text.splitlines()
+        if re.search(r"f32\[32,8\]\{[^}]*\} dot\(", l)
+        and "transpose(jvp" in l]
+    assert "reduce-scatter" in text or grad_dots
 
     s1, _ = step(s, b)
     k1 = s1.params["params"]["dense_0"]["kernel"]
     assert k1.addressable_shards[0].data.size == k1.size // 8
+
+
+def test_fsdp_replicates_only_collection_level_names():
+    """The replicated-scope match keys on the COLLECTION (first dict level),
+    not on every path component: a user model with a SUBMODULE named
+    'losses' (or 'batch_stats', ...) must still get its large kernel
+    sharded, while the real quant_state/batch_stats collections replicate."""
+    mesh = make_mesh()
+    tree = {
+        "params": {
+            "losses": {"kernel": jnp.zeros((32, 64), jnp.float32)},
+            "batch_stats": {"kernel": jnp.zeros((32, 64), jnp.float32)},
+        },
+        "quant_state": {"dense_0": {"scale": jnp.zeros((4096,), jnp.float32)}},
+        "batch_stats": {"bn": {"mean": jnp.zeros((4096,), jnp.float32)}},
+    }
+    sh = fsdp_sharding(mesh, tree)
+    assert "data" in sh["params"]["losses"]["kernel"].spec
+    assert "data" in sh["params"]["batch_stats"]["kernel"].spec
+    # collection-level names replicate even when the leaves are large
+    assert sh["quant_state"]["dense_0"]["scale"].spec == P()
+    assert sh["batch_stats"]["bn"]["mean"].spec == P()
 
 
 def test_fsdp_eval_step():
