@@ -453,6 +453,16 @@ def _flash_interpret_bwd(sm, res, do):
 _flash_interpret.defvjp(_flash_interpret_fwd, _flash_interpret_bwd)
 
 
+def _auto_uses_fused(t: int, max_len: int, int4_carrier: bool,
+                     backend: str) -> bool:
+    """The attn_impl='auto' gate, carrier-aware (see the measured table in
+    _cached_attention and docs/measurements/paged_pagesize_inmodel_tpu.json):
+    fused for decode-shaped calls (t <= 8) over cache-bound lengths
+    (max_len >= 1024) — and at EVERY length for the int4 carrier, whose XLA
+    unpack path never meaningfully wins."""
+    return backend == "tpu" and t <= 8 and (max_len >= 1024 or int4_carrier)
+
+
 def _cached_attention(q, k, v, kv_cache, cache_index, attn_impl,
                       attn_window=None):
     """Decode-path attention of fresh q/k/v against a cache entry, returning
@@ -477,15 +487,26 @@ def _cached_attention(q, k, v, kv_cache, cache_index, attn_impl,
     else:
         ck0 = kv_cache[0]
         L = (ck0[0] if isinstance(ck0, (tuple, list)) else ck0).shape[2]
-    # 'auto': the fused kernel wins only when decode is CACHE-BOUND — long
-    # caches (one HBM pass, carrier width).  At short max_len each
-    # (batch, kv-head) program is one tiny block with no DMA pipelining and
-    # XLA's batched einsum is ~3x faster (measured: int8 cache, L=240, B=8:
-    # 19.4k vs 55.0k tok/s; L=2048: 9.7k vs 8.4k — fused wins).
+    # 'auto' is CARRIER-AWARE (VERDICT r3 next-#2).  The fused kernel wins
+    # when decode is CACHE-BOUND — long caches, one HBM pass at carrier
+    # width.  At short max_len each (batch, kv-head) program is one tiny
+    # block with no DMA pipelining and XLA's batched einsum wins for float /
+    # int8 carriers (measured B=8: int8 L=240 19.4k fused vs 55.0k xla;
+    # L=512 19.4k vs 32.1k; L=2048 9.7k vs 8.4k — fused wins).  For the INT4
+    # carrier the XLA path's nibble unpack materializes an f32 cache copy
+    # and is never meaningfully faster (L=240: 18.3k fused vs 19.0k xla —
+    # within noise; L=512: 17.3k vs 17.4k; L=2048: 8.2k vs 4.9k — fused
+    # 1.66x), so int4 routes to the fused kernel at every length.
+    if isinstance(kv_cache, PagedKVLayer):
+        int4_carrier = kv_cache.int4
+    else:
+        lead = kv_cache[0]
+        int4_carrier = (isinstance(lead, (tuple, list))
+                        and lead[0].dtype == jnp.uint8)
     use_fused = (attn_impl == "pallas"
                  or (attn_impl == "auto"
-                     and jax.default_backend() == "tpu" and t <= 8
-                     and L >= 1024))
+                     and _auto_uses_fused(t, L, int4_carrier,
+                                          jax.default_backend())))
     idx = jnp.asarray(cache_index, jnp.int32)
 
     if isinstance(kv_cache, PagedKVLayer):

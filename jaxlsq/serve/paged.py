@@ -67,7 +67,7 @@ class PagedKVLayer:
     table: jnp.ndarray
     ks: Optional[jnp.ndarray] = None
     vs: Optional[jnp.ndarray] = None
-    page_size: int = struct.field(pytree_node=False, default=512)
+    page_size: int = struct.field(pytree_node=False, default=1024)
 
     @property
     def quantized(self) -> bool:
@@ -78,7 +78,7 @@ class PagedKVLayer:
         return self.quantized and self.kp.dtype == jnp.uint8
 
 
-def init_paged_cache(model, batch_size: int, *, page_size: int = 512,
+def init_paged_cache(model, batch_size: int, *, page_size: int = 1024,
                      num_pages: Optional[int] = None, dtype=jnp.float32,
                      max_len: Optional[int] = None, table=None):
     """Zero paged cache for ``QuantTransformerLM``-shaped models: a tuple of

@@ -92,9 +92,12 @@ class PagedDecodeEngine(DecodeEngine):
         kernel's K/V block length (pages are not contiguous in the pool, so
         one block fetch cannot span pages): small pages mean many small DMAs
         — measured 3.5x/2.0x/1.27x/1.0x the dense kernel's per-step cost at
-        128/256/512/1024 (docs/measurements/paged_attention_tpu.json).
-        Default 512; drop it only when allocation granularity matters more
-        than decode latency.  Keep it a multiple of 8 (sublane tiling).
+        128/256/512/1024 isolated (docs/measurements/paged_attention_tpu.json)
+        and 0.61x/0.88x of dense decode throughput IN-MODEL at 512/1024
+        (docs/measurements/paged_pagesize_inmodel_tpu.json — B=8, L=2048,
+        int8 pools).  Default 1024 (the measured knee); drop it only when
+        allocation granularity matters more than decode latency.  Keep it a
+        multiple of 8 (sublane tiling).
 
     A request needing more pages than the whole pool is rejected at
     ``submit``; one needing more than currently free is admitted later,
@@ -104,7 +107,7 @@ class PagedDecodeEngine(DecodeEngine):
     """
 
     def __init__(self, model, variables, *, num_pages: int,
-                 page_size: int = 512, **kwargs):
+                 page_size: int = 1024, **kwargs):
         if page_size < 1:
             raise ValueError("page_size must be >= 1")
         self.page_size = int(page_size)
@@ -500,7 +503,7 @@ class PagedSpeculativeDecodeEngine(SpeculativeDecodeEngine):
     """
 
     def __init__(self, target, draft, target_vars, draft_vars, *,
-                 num_pages: int, page_size: int = 512, **kwargs):
+                 num_pages: int, page_size: int = 1024, **kwargs):
         if page_size < 1:
             raise ValueError("page_size must be >= 1")
         if target.max_len != draft.max_len:

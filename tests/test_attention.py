@@ -163,3 +163,68 @@ def dataclasses_replace(kw, qc, act_mode):
     out = dict(kw)
     out["qconfig"] = qc.for_serving(act_mode, "xla")
     return out
+
+
+class TestAutoGate:
+    """attn_impl='auto' selection (models/zoo.py::_auto_uses_fused) — the
+    carrier-aware gate (VERDICT r3 next-#2).  Measured B=8 tok/s behind each
+    row: int8 L=240 19.4k fused / 55.0k xla, L=512 19.4k/32.1k, L=2048
+    9.7k/8.4k; int4 L=240 18.3k/19.0k, L=512 17.3k/17.4k, L=2048 8.2k/4.9k
+    (docs/measurements/paged_pagesize_inmodel_tpu.json)."""
+
+    def test_gate_table(self):
+        from jaxlsq.models.zoo import _auto_uses_fused
+
+        # (t, L, int4, backend) -> fused?
+        cases = [
+            # float/int8 carriers: fused only when cache-bound
+            ((1, 240, False, "tpu"), False),
+            ((1, 512, False, "tpu"), False),
+            ((1, 1024, False, "tpu"), True),
+            ((1, 2048, False, "tpu"), True),
+            # int4 carrier: fused at EVERY length
+            ((1, 240, True, "tpu"), True),
+            ((1, 512, True, "tpu"), True),
+            ((1, 2048, True, "tpu"), True),
+            # prefill-shaped calls (t > 8) belong to XLA's big matmuls
+            ((32, 2048, False, "tpu"), False),
+            ((32, 2048, True, "tpu"), False),
+            # off-TPU always XLA
+            ((1, 2048, False, "cpu"), False),
+            ((1, 240, True, "cpu"), False),
+        ]
+        for args, want in cases:
+            assert _auto_uses_fused(*args) is want, args
+
+    def test_int4_carrier_detected_from_cache_layout(self):
+        """End-to-end: an int4 dense cache routes 'auto' through the fused
+        kernel even at short max_len (decode output must still match the
+        XLA formulation — the kernel oracle tests pin numerics; here we pin
+        the ROUTING by checking the pallas_call lands in the jaxpr)."""
+        import dataclasses
+
+        from jaxlsq.models import QuantTransformerLM, default_qconfig
+        from jaxlsq.serve import init_kv_cache
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        model = QuantTransformerLM(vocab=64, dim=32, depth=1, num_heads=4,
+                                   qconfig=qc, max_len=16, attn_impl="auto")
+        toks = jnp.zeros((2, 4), jnp.int32)
+        variables = model.init(jax.random.key(0), toks, training=False)
+        tok1 = jnp.zeros((2, 1), jnp.int32)
+
+        def jaxpr_for(dtype, backend):
+            import unittest.mock as mock
+            cache = init_kv_cache(model, 2, dtype=dtype)
+            with mock.patch("jax.default_backend", return_value=backend):
+                return str(jax.make_jaxpr(
+                    lambda v, t, c: model.apply(v, t, cache=c,
+                                                cache_index=jnp.int32(4))
+                )(variables, tok1, cache))
+
+        # int4 carrier on "tpu": fused kernel traced even at max_len 16
+        assert "pallas_call" in jaxpr_for(jnp.int4, "tpu")
+        # int8 carrier at the same short length: XLA einsum path
+        assert "pallas_call" not in jaxpr_for(jnp.int8, "tpu")
+        # off-TPU: XLA regardless of carrier
+        assert "pallas_call" not in jaxpr_for(jnp.int4, "cpu")
