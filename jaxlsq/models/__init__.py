@@ -2,6 +2,7 @@ from .calibrate import calibrate, enable_param_learning_all, set_static_estimate
 from .layers import FakeQuantize, QuantConv, QuantDense, QuantEmbed
 from .moe import QuantMoE, load_balance_loss
 from .qconfig import QConfig, default_qconfig
+from .quantize import QuantizedModel, quantize_model
 from .toggles import (
     disable_fake_quant,
     disable_fake_quant_on_act,
@@ -21,6 +22,7 @@ __all__ = [
     "FakeQuantize", "QuantConv", "QuantDense", "QuantEmbed",
     "QuantMoE", "load_balance_loss",
     "QConfig", "default_qconfig",
+    "quantize_model", "QuantizedModel",
     "calibrate", "set_static_estimate", "enable_param_learning_all",
     "enable_fake_quant", "disable_fake_quant",
     "enable_observer", "disable_observer",

@@ -40,7 +40,8 @@ from flax import linen as nn
 from ..observers.quantizer import LSQQuantizer, QuantizerState
 from .qconfig import QConfig
 
-__all__ = ["FakeQuantize", "QuantDense", "QuantConv", "QuantEmbed"]
+__all__ = ["FakeQuantize", "QuantDense", "QuantConv", "QuantEmbed",
+           "dense_apply", "conv_apply", "embed_apply"]
 
 
 def _dummy_packed(kernel_shape, wspec, axis, bits=None):
@@ -104,6 +105,69 @@ class FakeQuantize(nn.Module):
         return out
 
 
+def dense_apply(mod: nn.Module, x, qconfig: QConfig, *, features: int,
+                use_bias: bool = True, dtype: Any = None,
+                kernel_init: Callable = nn.initializers.lecun_normal(),
+                bias_init: Callable = nn.initializers.zeros_init(),
+                training: bool = False):
+    """The quantized-dense forward, parameterized by its HOST module.
+
+    ``mod`` provides the flax plumbing (``param``/``variable``/``path``) and
+    nothing else, so the same body serves two hosts: :class:`QuantDense`
+    (explicitly authored models) and a stock ``nn.Dense`` intercepted by
+    :func:`jaxlsq.models.quantize.quantize_model` (the prepare_qat-style
+    drop-in path, reference README.md:103-126) — bit-parity between the two
+    is by construction, not by test alone."""
+    qc = qconfig.resolve(mod.path)  # mixed-precision overrides
+    if qc.mode == "serve":
+        y = _dense_serve(mod, x, qc, features)
+    else:
+        acfg = qc.activation_for_axis(x.ndim - 1)
+        if acfg is not None:
+            x = FakeQuantize(acfg, name="act_fq", parent=mod)(
+                x, training=training)
+        kernel = mod.param("kernel", kernel_init, (x.shape[-1], features))
+        wcfg = qc.weight_for_axis(1)
+        if wcfg is not None:
+            kernel = FakeQuantize(wcfg, name="weight_fq", parent=mod)(
+                kernel, training=training)
+        y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+    if use_bias:
+        bias = mod.param("bias", bias_init, (features,))
+        y = y + bias
+    return y.astype(dtype or x.dtype)
+
+
+def _dense_serve(mod: nn.Module, x, qc: QConfig, features: int):
+    """Frozen inference on packed weights: the fused weight-only matmul
+    (jaxlsq/serve/matmul.py) replaces fake-quant + float matmul."""
+    from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
+                                wo_matmul)
+
+    wspec = qc.required_weight_for_axis(1).spec
+    kshape = (x.shape[-1], features)
+    packed = mod.variable("quantized", "kernel",
+                          lambda: _dummy_packed(kshape, wspec, 1)).value
+    ascale = azp = None
+    if qc.activation is not None:
+        c = x.shape[-1] if qc.activation.spec.per_channel else 1
+        ascale = mod.variable("quantized", "act_scale",
+                              lambda: jnp.ones((c,), jnp.float32)).value
+        azp = mod.variable("quantized", "act_zp",
+                           lambda: jnp.zeros((c,), jnp.int32)).value
+        aspec = qc.activation.spec
+        if qc.act_mode == "static_int8":
+            # true int8*int8 MXU path with the frozen act qparams
+            return static_int8_matmul(x, packed, ascale, azp,
+                                      aspec.quant_min, aspec.quant_max)
+        if qc.act_mode == "static":
+            x = _static_act_quant(x, ascale, azp, aspec)
+    if qc.act_mode == "dynamic":
+        return dynamic_int8_matmul(x, packed)
+    return wo_matmul(x, packed, impl=qc.serve_impl,
+                     precision=qc.serve_precision)
+
+
 class QuantDense(nn.Module):
     """Dense layer with LSQ weight + input-activation fake-quantizers.
 
@@ -120,54 +184,96 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
-        if qc.mode == "serve":
-            y = self._serve(x)
-        else:
-            acfg = qc.activation_for_axis(x.ndim - 1)
-            if acfg is not None:
-                x = FakeQuantize(acfg, name="act_fq")(x, training=training)
-            kernel = self.param("kernel", self.kernel_init,
-                                (x.shape[-1], self.features))
-            wcfg = qc.weight_for_axis(1)
-            if wcfg is not None:
-                kernel = FakeQuantize(wcfg, name="weight_fq")(
-                    kernel, training=training)
-            y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
-        return y.astype(self.dtype or x.dtype)
+        return dense_apply(
+            self, x, self.qconfig, features=self.features,
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=self.kernel_init, bias_init=self.bias_init,
+            training=training)
 
-    def _serve(self, x):
-        """Frozen inference on packed weights: the fused weight-only matmul
-        (jaxlsq/serve/matmul.py) replaces fake-quant + float matmul."""
-        from ..serve.matmul import (dynamic_int8_matmul, static_int8_matmul,
-                                    wo_matmul)
 
-        qc = self.qconfig.resolve(self.path)
-        wspec = qc.required_weight_for_axis(1).spec
-        kshape = (x.shape[-1], self.features)
-        packed = self.variable("quantized", "kernel",
-                               lambda: _dummy_packed(kshape, wspec, 1)).value
-        ascale = azp = None
+def conv_apply(mod: nn.Module, x, qconfig: QConfig, *, features: int,
+               kernel_size: Sequence[int],
+               strides: Union[int, Sequence[int]] = 1,
+               padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+               use_bias: bool = True, feature_group_count: int = 1,
+               dtype: Any = None,
+               kernel_init: Callable = nn.initializers.lecun_normal(),
+               bias_init: Callable = nn.initializers.zeros_init(),
+               training: bool = False):
+    """The quantized 2-D conv forward, parameterized by its HOST module
+    (see :func:`dense_apply` — same two-host contract).  NHWC inputs; kernel
+    layout (kh, kw, in, out) → weight per-channel axis 3."""
+    kh, kw = kernel_size
+    in_feat = x.shape[-1] // feature_group_count
+    qc = qconfig.resolve(mod.path)  # mixed-precision overrides
+    if qc.mode == "serve":
+        # Weight-only conv: int-packed kernel dequantized on the fly (the
+        # HBM win is the 4-8x smaller weight stream).  act_mode
+        # 'static_int8' instead runs the true int8*int8 integer conv
+        # with the dequant epilogue (serve/matmul.static_int8_conv).
+        from ..serve.matmul import static_int8_conv
+        from ..serve.pack import dequantize_weight
+
+        if qc.act_mode == "dynamic":
+            raise ValueError(
+                "act_mode='dynamic' is not supported for conv layers; "
+                "use 'static' or 'none' for models containing QuantConv")
+        wspec = qc.required_weight_for_axis(3).spec
+        kshape = (kh, kw, in_feat, features)
+        packed = mod.variable(
+            "quantized", "kernel",
+            lambda: _dummy_packed(kshape, wspec, 3)).value
+        strides2 = ((strides, strides) if isinstance(strides, int)
+                    else tuple(strides))
         if qc.activation is not None:
             c = x.shape[-1] if qc.activation.spec.per_channel else 1
-            ascale = self.variable("quantized", "act_scale",
-                                   lambda: jnp.ones((c,), jnp.float32)).value
-            azp = self.variable("quantized", "act_zp",
-                                lambda: jnp.zeros((c,), jnp.int32)).value
+            ascale = mod.variable("quantized", "act_scale",
+                                  lambda: jnp.ones((c,), jnp.float32)).value
+            azp = mod.variable("quantized", "act_zp",
+                               lambda: jnp.zeros((c,), jnp.int32)).value
             aspec = qc.activation.spec
-            if qc.act_mode == "static_int8":
-                # true int8*int8 MXU path with the frozen act qparams
-                return static_int8_matmul(x, packed, ascale, azp,
-                                          aspec.quant_min, aspec.quant_max)
-            if qc.act_mode == "static":
+            if (qc.act_mode == "static_int8"
+                    and packed.bits == 8 and wspec.symmetric
+                    and not aspec.per_channel):
+                y = static_int8_conv(
+                    x, packed, ascale, azp, aspec.quant_min,
+                    aspec.quant_max, strides=strides2,
+                    padding=padding,
+                    feature_group_count=feature_group_count)
+                if use_bias:
+                    bias = mod.param("bias", bias_init, (features,))
+                    y = y + bias
+                return y.astype(dtype or x.dtype)
+            if qc.act_mode in ("static", "static_int8"):
+                # float-simulated fallback (per-channel act qparams,
+                # affine or int4 weights)
                 x = _static_act_quant(x, ascale, azp, aspec)
-        if qc.act_mode == "dynamic":
-            return dynamic_int8_matmul(x, packed)
-        return wo_matmul(x, packed, impl=qc.serve_impl,
-                         precision=qc.serve_precision)
+        kernel = dequantize_weight(packed, x.dtype)
+    else:
+        acfg = qc.activation_for_axis(x.ndim - 1)
+        if acfg is not None:
+            x = FakeQuantize(acfg, name="act_fq", parent=mod)(
+                x, training=training)
+        kernel = mod.param("kernel", kernel_init,
+                           (kh, kw, in_feat, features))
+        wcfg = qc.weight_for_axis(3)
+        if wcfg is not None:
+            kernel = FakeQuantize(wcfg, name="weight_fq", parent=mod)(
+                kernel, training=training)
+    strides2 = ((strides, strides) if isinstance(strides, int)
+                else tuple(strides))
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=strides2,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.float32,
+    )
+    if use_bias:
+        bias = mod.param("bias", bias_init, (features,))
+        y = y + bias
+    return y.astype(dtype or x.dtype)
 
 
 class QuantConv(nn.Module):
@@ -188,78 +294,49 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, training: bool = False):
-        kh, kw = self.kernel_size
-        in_feat = x.shape[-1] // self.feature_group_count
-        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
-        if qc.mode == "serve":
-            # Weight-only conv: int-packed kernel dequantized on the fly (the
-            # HBM win is the 4-8x smaller weight stream).  act_mode
-            # 'static_int8' instead runs the true int8*int8 integer conv
-            # with the dequant epilogue (serve/matmul.static_int8_conv).
-            from ..serve.matmul import static_int8_conv
-            from ..serve.pack import dequantize_weight
+        return conv_apply(
+            self, x, self.qconfig, features=self.features,
+            kernel_size=self.kernel_size, strides=self.strides,
+            padding=self.padding, use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count, dtype=self.dtype,
+            kernel_init=self.kernel_init, bias_init=self.bias_init,
+            training=training)
 
-            if qc.act_mode == "dynamic":
-                raise ValueError(
-                    "act_mode='dynamic' is not supported for conv layers; "
-                    "use 'static' or 'none' for models containing QuantConv")
-            wspec = qc.required_weight_for_axis(3).spec
-            kshape = (kh, kw, in_feat, self.features)
-            packed = self.variable(
-                "quantized", "kernel",
-                lambda: _dummy_packed(kshape, wspec, 3)).value
-            strides = ((self.strides, self.strides)
-                       if isinstance(self.strides, int)
-                       else tuple(self.strides))
-            if qc.activation is not None:
-                c = x.shape[-1] if qc.activation.spec.per_channel else 1
-                ascale = self.variable("quantized", "act_scale",
-                                       lambda: jnp.ones((c,), jnp.float32)).value
-                azp = self.variable("quantized", "act_zp",
-                                    lambda: jnp.zeros((c,), jnp.int32)).value
-                aspec = qc.activation.spec
-                if (qc.act_mode == "static_int8"
-                        and packed.bits == 8 and wspec.symmetric
-                        and not aspec.per_channel):
-                    y = static_int8_conv(
-                        x, packed, ascale, azp, aspec.quant_min,
-                        aspec.quant_max, strides=strides,
-                        padding=self.padding,
-                        feature_group_count=self.feature_group_count)
-                    if self.use_bias:
-                        bias = self.param("bias", self.bias_init,
-                                          (self.features,))
-                        y = y + bias
-                    return y.astype(self.dtype or x.dtype)
-                if qc.act_mode in ("static", "static_int8"):
-                    # float-simulated fallback (per-channel act qparams,
-                    # affine or int4 weights)
-                    x = _static_act_quant(x, ascale, azp, aspec)
-            kernel = dequantize_weight(packed, x.dtype)
-        else:
-            acfg = qc.activation_for_axis(x.ndim - 1)
-            if acfg is not None:
-                x = FakeQuantize(acfg, name="act_fq")(x, training=training)
-            kernel = self.param("kernel", self.kernel_init,
-                                (kh, kw, in_feat, self.features))
-            wcfg = qc.weight_for_axis(3)
-            if wcfg is not None:
-                kernel = FakeQuantize(wcfg, name="weight_fq")(
-                    kernel, training=training)
-        strides = ((self.strides, self.strides)
-                   if isinstance(self.strides, int) else tuple(self.strides))
-        y = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=strides,
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
-        )
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
-        return y.astype(self.dtype or x.dtype)
+
+def _embed_serve_gather(packed, tokens, dtype):
+    """Serving-side embedding lookup: gather int8 rows, dequantize only the
+    gathered rows (per-row qparams travel with the gather)."""
+    rows = jnp.take(packed.data, tokens, axis=0).astype(jnp.float32)
+    c = packed.scale.shape[0]
+    if c > 1:
+        s = jnp.take(packed.scale, tokens, axis=0)[..., None]
+        z = jnp.take(packed.zero_point, tokens, axis=0)[..., None]
+    else:
+        s, z = packed.scale, packed.zero_point
+    return ((rows - z.astype(jnp.float32)) * s).astype(dtype)
+
+
+def embed_apply(mod: nn.Module, tokens, qconfig: QConfig, *,
+                num_embeddings: int, features: int, dtype: Any = jnp.float32,
+                embedding_init: Callable = nn.initializers.normal(0.02),
+                training: bool = False):
+    """The quantized embedding forward, parameterized by its HOST module
+    (see :func:`dense_apply` — same two-host contract)."""
+    kshape = (num_embeddings, features)
+    qc = qconfig.resolve(mod.path)  # mixed-precision overrides
+    if qc.mode == "serve":
+        wspec = qc.required_weight_for_axis(0).spec
+        # int8 always: int4 nibble packing would break row gathers
+        packed = mod.variable(
+            "quantized", "embedding",
+            lambda: _dummy_packed(kshape, wspec, 0, bits=8)).value
+        return _embed_serve_gather(packed, tokens, dtype)
+    table = mod.param("embedding", embedding_init, kshape)
+    wcfg = qc.weight_for_axis(0)
+    if wcfg is not None:
+        table = FakeQuantize(wcfg, name="weight_fq", parent=mod)(
+            table, training=training)
+    return jnp.take(table, tokens, axis=0).astype(dtype)
 
 
 class QuantEmbed(nn.Module):
@@ -280,25 +357,7 @@ class QuantEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, *, training: bool = False):
-        kshape = (self.num_embeddings, self.features)
-        qc = self.qconfig.resolve(self.path)  # mixed-precision overrides
-        if qc.mode == "serve":
-            wspec = qc.required_weight_for_axis(0).spec
-            # int8 always: int4 nibble packing would break row gathers
-            packed = self.variable(
-                "quantized", "embedding",
-                lambda: _dummy_packed(kshape, wspec, 0, bits=8)).value
-            rows = jnp.take(packed.data, tokens, axis=0).astype(jnp.float32)
-            c = packed.scale.shape[0]
-            if c > 1:  # per-row qparams travel with the gather
-                s = jnp.take(packed.scale, tokens, axis=0)[..., None]
-                z = jnp.take(packed.zero_point, tokens, axis=0)[..., None]
-            else:
-                s, z = packed.scale, packed.zero_point
-            return ((rows - z.astype(jnp.float32)) * s).astype(self.dtype)
-        table = self.param("embedding", self.embedding_init, kshape)
-        wcfg = qc.weight_for_axis(0)
-        if wcfg is not None:
-            table = FakeQuantize(wcfg, name="weight_fq")(
-                table, training=training)
-        return jnp.take(table, tokens, axis=0).astype(self.dtype)
+        return embed_apply(
+            self, tokens, self.qconfig, num_embeddings=self.num_embeddings,
+            features=self.features, dtype=self.dtype,
+            embedding_init=self.embedding_init, training=training)
