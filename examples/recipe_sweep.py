@@ -1,0 +1,235 @@
+"""QAT recipe sweep on the BASELINE accuracy misses (VERDICT r3 next-#1).
+
+Round 3 recorded an honest miss: mobilenetv2 w8a8 mean paired delta -1.6%
+(resnet18 -0.089% with CI edge -0.153%) — but the harness swept exactly ONE
+recipe (observer-init + MovingAverage minmax).  This script points the
+framework's own arsenal at the miss, one knob at a time:
+
+  base       the r3 recipe (observer minmax, 20-batch window)  [control]
+  noact      weights quantized, activations float               [attribution]
+  noweight   activations quantized, weights float               [attribution]
+  learnable  LSQ+ backprop init (init_mode='learnable'), 100-batch window —
+             the reference's headline feature (functional.py:60-64,
+             observers.py:441-443), built for exactly this class of gap
+  mse        act_observer='mse' (MSE-minimizing range search)
+  histogram  act_observer='histogram' (torch.ao default static observer)
+  window100  observer window 20 -> 100 batches
+  full8      reduce_range=False: full 8-bit activation range (the 7-bit
+             narrowing is a torch-backend overflow guard — README.md:141 —
+             that costs a bit of precision TPU serving does not need)
+  dwfloat    mixed precision: depthwise conv ACTIVATIONS stay float
+             (with_overrides on the 'depthwise' path; weights stay int8)
+  combo      the winners combined (filled in after a first pass)
+
+Every recipe is evaluated twice: with the QAT-final batch_stats and with
+BN re-estimation (utils.reestimate_batch_stats, 400 batches) — MobileNet's
+depthwise+BN stacks are the textbook case for stale-EMA damage.
+
+Protocol matches examples/accuracy_parity.py (paired deltas on a fixed 20k
+eval set, McNemar sigma, across-seed CI); the float baseline is trained
+ONCE per seed and shared by all recipes.
+
+    python examples/recipe_sweep.py --model mobilenetv2 --seeds 3
+        [--steps 1500] [--recipes base,learnable,...]
+        [--out docs/measurements/recipe_sweep_mnv2_tpu.json]
+"""
+
+import argparse
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+if "--cpu" in sys.argv:  # debug runs; the axon sitecustomize ignores env vars
+    jax.config.update("jax_platforms", "cpu")
+
+try:
+    import os as _os
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("JAXLSQ_COMPILE_CACHE",
+                                      "/tmp/jaxlsq_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, "/root/repo/examples")
+from accuracy_parity import (EVAL_CHUNK, EVAL_N, N_CLASSES, eval_preds,
+                             make_batch, paired_delta)
+
+from jaxlsq.models import default_qconfig
+from jaxlsq.models.qconfig import QConfig
+from jaxlsq.models.zoo import mobilenetv2_cifar, resnet18_cifar
+from jaxlsq.parallel import create_train_state, make_train_step
+from jaxlsq.utils import reestimate_batch_stats
+
+PC = dict(per_channel_weights=True)
+
+
+def recipes():
+    base = default_qconfig(8, 8, init_batches=20, **PC)
+    out = {
+        "base": base,
+        "noact": dataclasses.replace(base, activation=None),
+        "noweight": dataclasses.replace(base, weight=None),
+        "learnable": default_qconfig(8, 8, init_batches=100,
+                                     init_mode="learnable", **PC),
+        "mse": default_qconfig(8, 8, init_batches=20, act_observer="mse",
+                               **PC),
+        "histogram": default_qconfig(8, 8, init_batches=20,
+                                     act_observer="histogram", **PC),
+        "window100": default_qconfig(8, 8, init_batches=100, **PC),
+        "full8": default_qconfig(8, 8, init_batches=20, reduce_range=False,
+                                 **PC),
+        "dwfloat": base.with_overrides(
+            {"depthwise": dataclasses.replace(base, activation=None)}),
+    }
+    return out
+
+
+def train_one(model, steps, batch_size, seed):
+    key = jax.random.key(seed)
+    tx = optax.adamw(optax.cosine_decay_schedule(3e-3, steps))
+    x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
+    state = create_train_state(model, tx, x0)
+    raw_step = make_train_step(model, tx, jit=False)
+    CHUNK = min(250, steps)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_chunk(carry):
+        def body(c, _):
+            state, key = c
+            key, sub = jax.random.split(key)
+            bx, by = make_batch(sub, batch_size)
+            state, metrics = raw_step(state, {"input": bx, "label": by})
+            return (state, key), metrics["loss"]
+        (state, key), losses = jax.lax.scan(body, carry, None, length=CHUNK)
+        return (state, key), losses[-1]
+
+    carry = (state, key)
+    for _ in range(max(1, steps // CHUNK)):
+        carry, last_loss = run_chunk(carry)
+    return carry[0], float(last_loss)
+
+
+def eval_top1(model, variables, test_keys):
+    eval_fn = jax.jit(lambda v, x: model.apply(
+        v, x, training=False,
+        mutable=["quant_state", "qparams", "batch_stats"])[0])
+    preds, labels = eval_preds(lambda x: eval_fn(variables, x),
+                               test_keys, make_batch)
+    return preds, labels
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=1)
+    ap.add_argument("--model", default="mobilenetv2")
+    ap.add_argument("--recipes", default="all")
+    ap.add_argument("--bn-batches", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out",
+                    default="docs/measurements/recipe_sweep_mnv2_tpu.json")
+    args = ap.parse_args()
+
+    model_fns = {"resnet18": lambda qc: resnet18_cifar(N_CLASSES, qc),
+                 "mobilenetv2": lambda qc: mobilenetv2_cifar(N_CLASSES, qc)}
+    model_fn = model_fns[args.model]
+    all_recipes = recipes()
+    names = (list(all_recipes) if args.recipes == "all"
+             else args.recipes.split(","))
+
+    results = {
+        "what": ("w8a8 recipe sweep on the r3 accuracy miss; paired deltas "
+                 "vs a per-seed shared float baseline on a fixed 20k eval "
+                 "set; each recipe also evaluated after BN re-estimation "
+                 f"({args.bn_batches} batches)"),
+        "model": args.model,
+        "train": f"{args.steps} steps x B{args.batch}, adamw cosine 3e-3",
+        "backend": jax.default_backend(),
+    }
+    seeds = list(range(args.seed_start, args.seed_start + args.seeds))
+    deltas = {n: {"raw": [], "bnr": []} for n in names}
+
+    for seed in seeds:
+        test_keys = [jax.random.key(1_000_000 + 1000 * seed + i)
+                     for i in range(EVAL_N // EVAL_CHUNK)]
+        t0 = time.time()
+        fstate, floss = train_one(model_fn(QConfig()), args.steps,
+                                  args.batch, seed)
+        fvars = {**fstate.params, **fstate.model_state}
+        fpreds, labels = eval_top1(model_fn(QConfig()), fvars, test_keys)
+        facc = float((fpreds == labels).mean())
+        results[f"seed{seed}/float"] = {
+            "top1": round(facc, 5), "train_loss": round(floss, 4),
+            "s": round(time.time() - t0, 1)}
+        print(f"seed{seed} float: top1={facc:.4f} loss={floss:.4f}",
+              flush=True)
+
+        # shared calibration batches for BN re-estimation
+        bn_keys = jax.random.split(jax.random.key(777_000 + seed),
+                                   args.bn_batches)
+        bn_inputs = jax.jit(
+            lambda ks: jax.vmap(lambda k: make_batch(k, args.batch)[0])(ks)
+        )(bn_keys)
+
+        for name in names:
+            qc = all_recipes[name]
+            t0 = time.time()
+            model = model_fn(qc)
+            state, loss = train_one(model, args.steps, args.batch, seed)
+            variables = {**state.params, **state.model_state}
+            preds, _ = eval_top1(model, variables, test_keys)
+            acc = float((preds == labels).mean())
+            d, sg = paired_delta(preds, fpreds, labels)
+            row = {"top1": round(acc, 5), "delta": round(d, 5),
+                   "sigma": round(sg, 6), "train_loss": round(loss, 4)}
+            deltas[name]["raw"].append(d)
+
+            v_bnr = reestimate_batch_stats(model, variables, bn_inputs)
+            preds_b, _ = eval_top1(model, v_bnr, test_keys)
+            acc_b = float((preds_b == labels).mean())
+            db, sgb = paired_delta(preds_b, fpreds, labels)
+            row.update({"top1_bnreest": round(acc_b, 5),
+                        "delta_bnreest": round(db, 5),
+                        "sigma_bnreest": round(sgb, 6),
+                        "s": round(time.time() - t0, 1)})
+            deltas[name]["bnr"].append(db)
+            results[f"seed{seed}/{name}"] = row
+            print(f"seed{seed} {name}: {row}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+
+    T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571,
+           9: 2.262, 19: 2.093, 39: 2.023}
+    for name in names:
+        for kind in ("raw", "bnr"):
+            ds = deltas[name][kind]
+            if not ds:
+                continue
+            m = float(np.mean(ds))
+            half = (T95.get(len(ds) - 1, 2.0) * float(np.std(ds, ddof=1))
+                    / np.sqrt(len(ds))) if len(ds) > 1 else float("nan")
+            results[f"summary/{name}/{kind}"] = {
+                "mean_delta": round(m, 5),
+                "ci95_half": round(half, 5),
+                "per_seed": [round(d, 5) for d in ds],
+            }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -264,14 +264,16 @@ class QuantTransformerBlock(nn.Module):
     # TRAINING-path attention (the no-cache branch):
     #   'xla'   — the inline einsum below (default; materializes (B, H, t, t)
     #             score tensors — fastest on v5e up to at least t=4096);
-    #   'flash' — the upstream fused Pallas flash-attention kernel
-    #             (jax.experimental.pallas.ops.tpu.flash_attention): fwd+bwd
-    #             via custom_vjp, FLAT score memory — the long-context QAT
-    #             enabler.  Measured d512 depth2 B·t=8192 on v5e: 1.7x/3.3x
-    #             less temp memory at t=2048/4096 for a 13-19% step-time
-    #             cost (docs/measurements/flash_train_tpu.json); switch when
-    #             the einsum's scores stop fitting.  MHA only, no
-    #             attn_window; interpret mode off-TPU keeps CPU tests green.
+    #   'flash' — the flat-score-memory long-context path: the upstream
+    #             fused Pallas flash-attention kernel (fwd+bwd custom_vjp,
+    #             O(t) scores) for full-causal attention, or the banded
+    #             chunked-einsum formulation (O(t·W) scores) when a sliding
+    #             window < t is set.  Measured d512 depth2 B·t=8192 on v5e:
+    #             1.7x/3.3x less temp memory at t=2048/4096 for a 13-19%
+    #             step-time cost (docs/measurements/flash_train_tpu.json);
+    #             switch when the einsum's scores stop fitting.  GQA
+    #             supported (kv heads repeated — scores dominate memory);
+    #             interpret mode off-TPU keeps CPU tests green.
     train_attn_impl: str = "xla"
     # MoE MLP (models/moe.py): replaces the dense 2-layer MLP with top-k
     # routed quantized experts; the block's residual absorbs capacity drops
@@ -321,15 +323,16 @@ class QuantTransformerBlock(nn.Module):
                     f"train_attn_impl must be 'xla' or 'flash', "
                     f"got {self.train_attn_impl!r}")
             if self.train_attn_impl == "flash":
-                if g > 1:
-                    raise ValueError(
-                        "train_attn_impl='flash' supports MHA only "
-                        f"(num_kv_heads {kvh} < num_heads {h}); use 'xla'")
-                if self.attn_window is not None:
-                    raise ValueError("train_attn_impl='flash' does not "
-                                     "support attn_window; use 'xla'")
-            if self.train_attn_impl == "flash":
-                y = _flash_train_attention(q, k, v, hd)
+                # 'flash' = the flat-score-memory long-context path.  With a
+                # sliding window (< t) it runs the banded chunked-einsum
+                # formulation (O(t*W) scores — the window IS the flatness);
+                # otherwise the upstream fused Pallas kernel (O(t) scores).
+                # Both support GQA (see the helpers).  VERDICT r3 next-#6.
+                if self.attn_window is not None and self.attn_window < t:
+                    y = _banded_train_attention(q, k, v, hd,
+                                                self.attn_window)
+                else:
+                    y = _flash_train_attention(q, k, v, hd)
             else:
                 mask = jnp.tril(jnp.ones((t, t), bool))
                 if self.attn_window is not None:  # drop out-of-window keys
@@ -375,6 +378,58 @@ class QuantTransformerBlock(nn.Module):
         return out, new_kv
 
 
+def _banded_train_attention(q, k, v, hd, window):
+    """Sliding-window training attention with FLAT score memory: keys are
+    chunked into window-sized blocks and each query block attends only its
+    own and the previous block — with block size == window, every key in
+    (qpos - W, qpos] lives in exactly those two blocks, so the band covers
+    the sliding-window mask exactly.  Score memory is (B, H, t/W, W, 2W) =
+    2·t·W per head instead of the einsum path's t² — the windowed
+    long-context QAT answer (the upstream flash kernel has no window
+    support).  Pure einsums: XLA autodiff gives the backward, the MXU gets
+    (W, 2W) tiles, GQA folds in by repeating kv heads (scores dominate the
+    memory, so the repeat does not change the asymptotics).  Same semantics
+    as the einsum mask `kpos <= qpos & qpos - kpos < W` — pinned in
+    tests/test_flash_train.py."""
+    b, h, t, _ = q.shape
+    kvh = k.shape[1]
+    if kvh != h:  # GQA: each query head attends its group's kv head
+        k = jnp.repeat(k, h // kvh, axis=1)
+        v = jnp.repeat(v, h // kvh, axis=1)
+    W = int(window)
+    nb = -(-t // W)
+    pt = nb * W
+    if pt != t:
+        pad = [(0, 0), (0, 0), (0, pt - t), (0, 0)]
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        # padded KEYS are only reachable from padded queries (kpos <= qpos
+        # and every real qpos < t), and padded queries' outputs are sliced
+        # away below, so no extra masking is needed
+    qb = q.reshape(b, h, nb, W, hd)
+    kb = k.reshape(b, h, nb, W, hd)
+    vb = v.reshape(b, h, nb, W, hd)
+
+    def with_prev(x):  # (B, H, nb, 2W, hd): [block i-1 | block i]
+        prev = jnp.pad(x[:, :, :-1], [(0, 0), (0, 0), (1, 0), (0, 0),
+                                      (0, 0)])
+        return jnp.concatenate([prev, x], axis=3)
+
+    k2, v2 = with_prev(kb), with_prev(vb)
+    att = jnp.einsum("bhnqd,bhnkd->bhnqk", qb, k2) / jnp.sqrt(float(hd))
+    qpos = jnp.arange(W)[:, None]                  # within-block query pos
+    kpos = jnp.arange(2 * W)[None, :] - W          # relative to block start
+    # global: qpos_g = i*W + q, kpos_g = i*W + (k - W); the difference
+    # qpos_g - kpos_g = q - (k - W) is block-independent, and kpos_g >= 0
+    # only needs checking for block 0 (the zero-padded 'previous' block)
+    diff = qpos - kpos
+    ok = (diff >= 0) & (diff < W)
+    ok = ok[None] & (jnp.arange(nb)[:, None, None] * W + kpos[None] >= 0)
+    att = jnp.where(ok[None, None], att, -1e9)
+    att = jax.nn.softmax(att, axis=-1)
+    y = jnp.einsum("bhnqk,bhnkd->bhnqd", att, v2).reshape(b, h, pt, hd)
+    return y[:, :, :t] if pt != t else y
+
+
 def _flash_train_attention(q, k, v, hd):
     """Training-path causal attention via the UPSTREAM fused Pallas
     flash-attention kernel (fwd + bwd `custom_vjp`,
@@ -383,9 +438,17 @@ def _flash_train_attention(q, k, v, hd):
     long-context QAT.  Off-TPU the kernel runs in TPU-interpret mode so the
     CPU test suite exercises the same program.  Same causal semantics as
     the einsum mask (strict lower-triangular + diagonal); agreement pinned
-    at f32 tolerance in tests/test_flash_train.py."""
+    at f32 tolerance in tests/test_flash_train.py.  GQA folds in by
+    repeating kv heads to the query head count (exact: each query head
+    attends its group's kv head; the t² → t score-memory win is what
+    'flash' exists for, and the repeated K/V is O(t))."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention)
+
+    if k.shape[1] != q.shape[1]:
+        g = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
 
     # The kernel needs t to cover its 128-row blocks; pad with zeros and
     # slice back.  Sound under causality: real queries (pos < t) never

@@ -1,5 +1,6 @@
 """jaxlsq.utils — checkpointing, profiling, and observability helpers."""
 
+from .bn import reestimate_batch_stats
 from .checkpoint import (latest_step, restore_checkpoint, restore_or_init,
                          save_checkpoint)
 from .migrate import load_torchlsq_state
@@ -11,6 +12,7 @@ from .sensitivity import (format_sensitivity, quantizer_scopes,
                           sensitivity_report, set_fake_quant_by_scope)
 
 __all__ = [
+    "reestimate_batch_stats",
     "latest_step", "restore_checkpoint", "restore_or_init", "save_checkpoint",
     "StepTimer", "annotate", "trace",
     "load_torchlsq_state",

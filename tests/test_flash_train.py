@@ -74,18 +74,105 @@ def test_flash_grads_match_einsum(setup):
                                    err_msg=str(pe))
 
 
-def test_flash_rejects_gqa_and_window(setup):
+def test_bogus_impl_rejected(setup):
     qc, _, toks = setup
-    r = np.random.RandomState(1)
-    m = _lm(qc, train_attn_impl="flash", num_kv_heads=1)
-    with pytest.raises(ValueError, match="MHA only"):
-        m.init(jax.random.key(1), toks, training=False)
-    m = _lm(qc, train_attn_impl="flash", attn_window=8)
-    with pytest.raises(ValueError, match="attn_window"):
-        m.init(jax.random.key(1), toks, training=False)
     m = _lm(qc, train_attn_impl="bogus")
     with pytest.raises(ValueError, match="train_attn_impl"):
         m.init(jax.random.key(1), toks, training=False)
+
+
+def test_flash_gqa_matches_einsum(setup):
+    """GQA under 'flash' (kv heads repeated into the upstream kernel) ==
+    the einsum path's grouped dots, through the full quantized LM
+    (VERDICT r3 next-#6: the flash x GQA hole)."""
+    qc, _, toks = setup
+    m_ein = _lm(qc, num_kv_heads=1)
+    variables = m_ein.init(jax.random.key(2), toks, training=False)
+    from jaxlsq.models.toggles import disable_observer
+    variables = disable_observer(variables)
+    ein = m_ein.apply(variables, toks, training=False)
+    fla = _lm(qc, num_kv_heads=1, train_attn_impl="flash").apply(
+        variables, toks, training=False)
+    np.testing.assert_allclose(np.asarray(fla), np.asarray(ein),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t,window,kvh", [
+    (T, 32, None),       # aligned blocks, MHA
+    (T, 32, 1),          # aligned blocks, GQA
+    (100, 24, None),     # t not a multiple of the window (padding path)
+    (T, 1, None),        # degenerate window: each query sees only itself
+])
+def test_banded_window_matches_einsum(setup, t, window, kvh):
+    """'flash' + attn_window routes through the banded chunked-einsum
+    formulation (O(t*W) score memory); must match the einsum windowed mask
+    through the full quantized LM (VERDICT r3 next-#6: the flash x window
+    hole)."""
+    qc, _, toks = setup
+    m_ein = _lm(qc, attn_window=window, num_kv_heads=kvh)
+    variables = m_ein.init(jax.random.key(3), toks[:, :t], training=False)
+    from jaxlsq.models.toggles import disable_observer
+    variables = disable_observer(variables)
+    ein = m_ein.apply(variables, toks[:, :t], training=False)
+    ban = _lm(qc, attn_window=window, num_kv_heads=kvh,
+              train_attn_impl="flash").apply(variables, toks[:, :t],
+                                             training=False)
+    np.testing.assert_allclose(np.asarray(ban), np.asarray(ein),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_banded_window_grads_match_einsum(setup):
+    qc, _, toks = setup
+    m_ein = _lm(qc, attn_window=32)
+    m_ban = _lm(qc, attn_window=32, train_attn_impl="flash")
+    variables = m_ein.init(jax.random.key(4), toks, training=False)
+    from jaxlsq.models.toggles import disable_observer
+    variables = disable_observer(variables)
+
+    def loss(params, rest, model):
+        logits = model.apply({**rest, "params": params}, toks[:, :-1],
+                             training=False)
+        tgt = jax.nn.one_hot(toks[:, 1:], VOCAB)
+        return -jnp.mean(jnp.sum(tgt * jax.nn.log_softmax(logits), -1))
+
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    ge = jax.grad(loss)(params, rest, m_ein)
+    gb = jax.grad(loss)(params, rest, m_ban)
+    for (pe, e), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ge),
+            jax.tree_util.tree_leaves_with_path(gb)):
+        scale = max(1.0, float(np.abs(np.asarray(e)).max()))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(e),
+                                   atol=5e-4 * scale, rtol=0,
+                                   err_msg=str(pe))
+
+
+def test_banded_window_uses_less_score_memory():
+    """The structural claim: at t >> W the banded program's temp footprint
+    is far below the einsum path's t^2 scores (compiled memory analysis —
+    backend-independent)."""
+    qc = default_qconfig(8, 8, init_batches=1)
+    t, w = 1024, 64
+    m_ein = _lm(qc, attn_window=w)
+    m_ban = _lm(qc, attn_window=w, train_attn_impl="flash")
+    r = np.random.RandomState(5)
+    toks = jnp.asarray(r.randint(0, VOCAB, size=(2, t)))
+    # max_len only gates decode; rebuild with room for t
+    import dataclasses as dc
+    m_ein = dc.replace(m_ein, max_len=t)
+    m_ban = dc.replace(m_ban, max_len=t)
+    variables = m_ein.init(jax.random.key(5), toks, training=False)
+
+    def temp_bytes(model):
+        f = jax.jit(lambda v, x: model.apply(v, x, training=False))
+        mem = f.lower(variables, toks).compile().memory_analysis()
+        return int(mem.temp_size_in_bytes)
+
+    be, bb = temp_bytes(m_ein), temp_bytes(m_ban)
+    # einsum scores: (2, 2, 1024, 1024) f32 x2 layers; banded: 2*t*W rows.
+    # Require at least a 3x cut to keep the assert robust to fusion noise.
+    assert bb * 3 < be, (bb, be)
 
 
 

@@ -218,3 +218,90 @@ def test_latest_step_ignores_stray_dirs(tmp_path):
     stray.mkdir()
     (stray / "_COMPLETE").write_text("ok")
     assert latest_step(ckpt) == 7
+
+
+class TestBNReestimation:
+    """reestimate_batch_stats (utils/bn.py): refreshes ONLY batch_stats,
+    under the final quantized forward, as one scan program."""
+
+    def _setup(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from jaxlsq.models import QuantConv, default_qconfig
+
+        qc = default_qconfig(8, 8, init_batches=1)
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, *, training=False):
+                x = QuantConv(8, (3, 3), qc, use_bias=False,
+                              name="conv")(x, training=training)
+                x = nn.BatchNorm(use_running_average=not training,
+                                 name="bn")(x)
+                return nn.relu(x)
+
+        r = np.random.RandomState(0)
+        x0 = jnp.asarray(r.randn(4, 8, 8, 3).astype(np.float32))
+        m = M()
+        v = m.init(jax.random.key(0), x0, training=False)
+        return m, v, r
+
+    def test_refreshes_stats_and_touches_nothing_else(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from jaxlsq.utils import reestimate_batch_stats
+
+        m, v, r = self._setup()
+        # calibration batches with a SHIFTED distribution: the refreshed
+        # mean must move toward the calibration mean
+        xs = jnp.asarray(
+            3.0 + r.randn(400, 4, 8, 8, 3).astype(np.float32))
+        v2 = reestimate_batch_stats(m, v, xs)
+        old_mean = v["batch_stats"]["bn"]["mean"]
+        new_mean = v2["batch_stats"]["bn"]["mean"]
+        assert not np.allclose(np.asarray(old_mean), np.asarray(new_mean))
+        # everything outside batch_stats is byte-identical
+        for col in v:
+            if col == "batch_stats":
+                continue
+            a = jax.tree_util.tree_leaves(v[col])
+            b = jax.tree_util.tree_leaves(v2[col])
+            for la, lb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        # quantizer window counters did NOT advance (writes were dropped)
+        cb_old = v["quant_state"]["conv"]["act_fq"]["qs"]["current_batch"]
+        cb_new = v2["quant_state"]["conv"]["act_fq"]["qs"]["current_batch"]
+        assert int(cb_old) == int(cb_new)
+
+    def test_converges_to_calibration_statistics(self):
+        """After enough EMA steps on a FIXED batch, the running mean matches
+        that batch's post-conv statistics (the exact target of the EMA)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from jaxlsq.utils import reestimate_batch_stats
+
+        m, v, r = self._setup()
+        x = jnp.asarray(r.randn(4, 8, 8, 3).astype(np.float32))
+        xs = jnp.broadcast_to(x, (800,) + x.shape)
+        v2 = reestimate_batch_stats(m, v, xs)
+        v3 = reestimate_batch_stats(m, v2, xs)  # idempotent at the fixpoint
+        np.testing.assert_allclose(
+            np.asarray(v2["batch_stats"]["bn"]["mean"]),
+            np.asarray(v3["batch_stats"]["bn"]["mean"]), rtol=1e-3, atol=1e-4)
+
+    def test_noop_without_batch_stats(self):
+        import jax.numpy as jnp
+
+        from jaxlsq.models import QuantMLP, default_qconfig
+        from jaxlsq.utils import reestimate_batch_stats
+
+        qc = default_qconfig(8, 8, init_batches=1)
+        m = QuantMLP(features=(8, 4), qconfig=qc)
+        v = m.init(jax.random.key(0), jnp.ones((2, 6)), training=False)
+        assert reestimate_batch_stats(m, v, jnp.ones((3, 2, 6))) is v
