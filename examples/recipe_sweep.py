@@ -92,6 +92,15 @@ def recipes():
         "dwfloat": base.with_overrides(
             {"depthwise": dataclasses.replace(base, activation=None)}),
     }
+    # Round-2 combos (seed-1 first pass: window100 -0.43% and full8 -0.46%
+    # vs base -1.60% — both are activation-RANGE levers; compose them)
+    combo = default_qconfig(8, 8, init_batches=100, reduce_range=False, **PC)
+    out["combo"] = combo
+    out["combo_dw"] = combo.with_overrides(
+        {"depthwise": dataclasses.replace(combo, activation=None)})
+    out["window400"] = default_qconfig(8, 8, init_batches=400, **PC)
+    out["combo400"] = default_qconfig(8, 8, init_batches=400,
+                                      reduce_range=False, **PC)
     return out
 
 
