@@ -68,10 +68,24 @@ from accuracy_parity import (EVAL_CHUNK, EVAL_N, N_CLASSES, eval_preds,
 from jaxlsq.models import default_qconfig
 from jaxlsq.models.qconfig import QConfig
 from jaxlsq.models.zoo import mobilenetv2_cifar, resnet18_cifar
-from jaxlsq.parallel import create_train_state, make_train_step
+from jaxlsq.parallel import (create_train_state, make_train_step,
+                             qat_optimizer)
 from jaxlsq.utils import reestimate_batch_stats
 
 PC = dict(per_channel_weights=True)
+
+
+def default_tx(steps):
+    return optax.adamw(optax.cosine_decay_schedule(3e-3, steps))
+
+
+def sgdq_tx(steps):
+    """LSQ-paper optimizer class for the quantizer params: SGD momentum 0.9
+    on the same cosine schedule, no weight decay — restores the
+    1/sqrt(numel*qmax) grad scale's role (parallel/optim.py docstring)."""
+    return qat_optimizer(
+        default_tx(steps),
+        optax.sgd(optax.cosine_decay_schedule(3e-3, steps), momentum=0.9))
 
 
 def recipes():
@@ -101,12 +115,21 @@ def recipes():
     out["window400"] = default_qconfig(8, 8, init_batches=400, **PC)
     out["combo400"] = default_qconfig(8, 8, init_batches=400,
                                       reduce_range=False, **PC)
+    # Optimizer-partition recipes (VERDICT r4): adamw normalizes every
+    # qparam update to ~lr (10%+ of a typical activation scale per step)
+    # and decays scale/shift toward zero; sgdq_tx restores LSQ semantics.
+    out["sgdq"] = (base, sgdq_tx)
+    out["learnable_sgdq"] = (default_qconfig(8, 8, init_batches=100,
+                                             init_mode="learnable", **PC),
+                             sgdq_tx)
+    out["combo_sgdq"] = (combo, sgdq_tx)
+    out["combo400_sgdq"] = (out["combo400"], sgdq_tx)
     return out
 
 
-def train_one(model, steps, batch_size, seed):
+def train_one(model, steps, batch_size, seed, tx_factory=default_tx):
     key = jax.random.key(seed)
-    tx = optax.adamw(optax.cosine_decay_schedule(3e-3, steps))
+    tx = tx_factory(steps)
     x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
     state = create_train_state(model, tx, x0)
     raw_step = make_train_step(model, tx, jit=False)
@@ -159,7 +182,15 @@ def main():
     names = (list(all_recipes) if args.recipes == "all"
              else args.recipes.split(","))
 
-    results = {
+    # Merge into an existing table (the sweep runs in passes; training is
+    # deterministic per seed, so the shared float baseline reproduces).
+    results = {}
+    try:
+        with open(args.out) as f:
+            results = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    results.update({
         "what": ("w8a8 recipe sweep on the r3 accuracy miss; paired deltas "
                  "vs a per-seed shared float baseline on a fixed 20k eval "
                  "set; each recipe also evaluated after BN re-estimation "
@@ -167,7 +198,7 @@ def main():
         "model": args.model,
         "train": f"{args.steps} steps x B{args.batch}, adamw cosine 3e-3",
         "backend": jax.default_backend(),
-    }
+    })
     seeds = list(range(args.seed_start, args.seed_start + args.seeds))
     deltas = {n: {"raw": [], "bnr": []} for n in names}
 
@@ -195,9 +226,13 @@ def main():
 
         for name in names:
             qc = all_recipes[name]
+            tx_factory = default_tx
+            if isinstance(qc, tuple):
+                qc, tx_factory = qc
             t0 = time.time()
             model = model_fn(qc)
-            state, loss = train_one(model, args.steps, args.batch, seed)
+            state, loss = train_one(model, args.steps, args.batch, seed,
+                                    tx_factory)
             variables = {**state.params, **state.model_state}
             preds, _ = eval_top1(model, variables, test_keys)
             acc = float((preds == labels).mean())

@@ -6,6 +6,7 @@ from .mesh import (
     shard_batch,
 )
 from .fsdp import fsdp_sharding
+from .optim import qat_optimizer
 from .moe import EXPERT_SCOPES, moe_sharding
 from .pipeline import (
     create_pipeline_state,
@@ -26,7 +27,7 @@ from .train import (
 __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "initialize_distributed",
-    "moe_sharding", "EXPERT_SCOPES", "fsdp_sharding",
+    "moe_sharding", "EXPERT_SCOPES", "fsdp_sharding", "qat_optimizer",
     "pipeline_mesh", "create_pipeline_state", "make_pipeline_train_step",
     "pipeline_sharding", "stack_pipeline_variables",
     "unstack_pipeline_variables",

@@ -1,0 +1,82 @@
+"""QAT optimizer partition: weights vs. quantizer step-size parameters.
+
+The LSQ recipe (arXiv:1902.08153 §3.1, carried by the reference through its
+``use_grad_scaling``/``grad_scaler`` knobs, /root/reference/torchlsq/
+functional.py:66-68) balances the scale/shift updates against the weight
+updates with the ``1/sqrt(numel·quant_max)`` gradient scale — a design that
+assumes an SGD-class optimizer, where the UPDATE is proportional to the
+GRADIENT.  Adam-class optimizers normalize each parameter's update to ~lr
+regardless of gradient magnitude, which silently nullifies the grad scale:
+every step moves a quantizer scale by ~lr — often 10%+ of the scale's own
+magnitude — and AdamW additionally weight-decays scale/shift toward zero,
+which is never meaningful for a quantization range.
+
+``qat_optimizer`` restores the paper's semantics without giving up Adam for
+the weights: it partitions the train-state tree at the top-level collections
+(``'params'`` → weights transform, ``'qparams'`` → quantizer transform) and
+defaults the quantizer side to SGD with momentum 0.9 and NO weight decay, so
+the LSQ grad scale is load-bearing again.
+
+Measured effect (docs/measurements/recipe_sweep_mnv2_tpu.json, mobilenetv2
+CIFAR w8a8, 1500 steps, 3 seeds): adamw-everywhere = −1.59% top-1 vs float;
+the same recipe with ``qat_optimizer`` closes most of the gap (see the
+``sgdq*`` rows).
+
+Usage::
+
+    tx = qat_optimizer(optax.adamw(sched))           # qparams: SGD(m=0.9)
+    tx = qat_optimizer(optax.adamw(sched),           # explicit quantizer tx
+                       optax.sgd(sched_q, momentum=0.9))
+    state = create_train_state(model, tx, x0)        # drop-in everywhere
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import optax
+
+__all__ = ["qat_optimizer"]
+
+
+def qat_optimizer(
+    weights_tx: optax.GradientTransformation,
+    qparams_tx: Optional[optax.GradientTransformation] = None,
+    *,
+    qparam_lr: Union[float, optax.Schedule] = 0.01,
+    qparam_momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    """Partition the optimizer over the QAT train-state collections.
+
+    Args:
+      weights_tx: transform for everything under ``'params'`` (the model
+        weights) — typically ``optax.adamw(...)``.
+      qparams_tx: transform for everything under ``'qparams'`` (LSQ
+        scale/shift).  Default: ``optax.sgd(qparam_lr, momentum=
+        qparam_momentum)`` — the LSQ paper's optimizer class, no weight
+        decay, so the ``1/sqrt(numel·quant_max)`` grad scale governs the
+        update magnitude as designed.
+      qparam_lr: learning rate (or schedule) for the default quantizer SGD;
+        ignored when ``qparams_tx`` is given.
+      qparam_momentum: momentum for the default quantizer SGD.
+
+    Returns an ``optax.GradientTransformation`` over the full
+    ``{'params': …, 'qparams': …}`` tree, drop-in for ``make_train_step`` /
+    ``create_train_state``.  Models with no quantizers (``QConfig()``
+    float baselines) have an empty ``'qparams'`` subtree and work unchanged.
+
+    The partition matches on the TOP-LEVEL key only (cf. ADVICE r3 on
+    ``fsdp.py``'s scope matching): a user parameter that happens to be
+    *named* ``qparams`` deeper in the tree still gets the weights transform.
+    """
+    if qparams_tx is None:
+        qparams_tx = optax.sgd(qparam_lr, momentum=qparam_momentum)
+
+    def label(params):
+        return {
+            "params": jax.tree.map(lambda _: "w", params.get("params", {})),
+            "qparams": jax.tree.map(lambda _: "q", params.get("qparams", {})),
+        }
+
+    return optax.multi_transform({"w": weights_tx, "q": qparams_tx}, label)
