@@ -1,5 +1,6 @@
 from .calibrate import calibrate, enable_param_learning_all, set_static_estimate
-from .layers import FakeQuantize, QuantConv, QuantDense, QuantEmbed
+from .layers import (FakeQuantize, QuantConv, QuantDense, QuantDenseGeneral,
+                     QuantEmbed)
 from .moe import QuantMoE, load_balance_loss
 from .qconfig import QConfig, default_qconfig
 from .quantize import QuantizedModel, quantize_model
@@ -19,7 +20,8 @@ from .zoo import (BasicBlock, QuantCNN, QuantMLP, QuantMobileNetV2,
                   mobilenetv2_cifar, resnet18_cifar)
 
 __all__ = [
-    "FakeQuantize", "QuantConv", "QuantDense", "QuantEmbed",
+    "FakeQuantize", "QuantConv", "QuantDense", "QuantDenseGeneral",
+    "QuantEmbed",
     "QuantMoE", "load_balance_loss",
     "QConfig", "default_qconfig",
     "quantize_model", "QuantizedModel",

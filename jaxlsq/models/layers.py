@@ -31,6 +31,7 @@ gating at :455-456).  See jaxlsq/parallel/train.py for a ready-made step.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -40,8 +41,9 @@ from flax import linen as nn
 from ..observers.quantizer import LSQQuantizer, QuantizerState
 from .qconfig import QConfig
 
-__all__ = ["FakeQuantize", "QuantDense", "QuantConv", "QuantEmbed",
-           "dense_apply", "conv_apply", "embed_apply"]
+__all__ = ["FakeQuantize", "QuantDense", "QuantDenseGeneral", "QuantConv",
+           "QuantEmbed", "dense_apply", "densegeneral_apply", "conv_apply",
+           "embed_apply"]
 
 
 def _dummy_packed(kernel_shape, wspec, axis, bits=None):
@@ -168,6 +170,84 @@ def _dense_serve(mod: nn.Module, x, qc: QConfig, features: int):
                      precision=qc.serve_precision)
 
 
+def densegeneral_apply(mod: nn.Module, x, qconfig: QConfig, *,
+                       features, axis=-1, use_bias: bool = True,
+                       dtype: Any = None,
+                       kernel_init: Callable = nn.initializers.lecun_normal(),
+                       bias_init: Callable = nn.initializers.zeros_init(),
+                       training: bool = False):
+    """Quantized ``nn.DenseGeneral`` forward (multi-axis contraction),
+    parameterized by its HOST module (same two-host contract as
+    :func:`dense_apply`; the second host is quantize_model's interceptor —
+    stock flax attention projects q/k/v/out through DenseGeneral).
+
+    Parameters keep the STOCK layout — kernel ``(*in_axes, *features)``
+    initialized at the flat 2-D shape then reshaped, bias ``features`` —
+    so float DenseGeneral checkpoints restore directly.  The quantized
+    compute runs on the FLATTENED ``(K, N)`` view: activations fake-quant
+    on the flattened input, weights per-channel over the flattened output
+    features (axis 1), exactly a :class:`QuantDense` on the 2-D view.  A
+    ``quant_state/dg_flat`` marker records the flattening so
+    :func:`jaxlsq.serve.convert` packs the 2-D view (serving then runs the
+    same fused weight-only / static-int8 matmuls as dense layers, and
+    group-wise int4 + TP sharding apply unchanged).
+
+    ``batch_dims`` is not supported (the quantized kernels have no batched
+    weights) — the quantize_model interceptor rejects it.
+    """
+    features = ((features,) if isinstance(features, int)
+                else tuple(features))
+    axis = (axis,) if isinstance(axis, int) else tuple(axis)
+    axis = tuple(a % x.ndim for a in axis)
+    if len(set(axis)) != len(axis):
+        raise ValueError(f"densegeneral_apply: duplicate axis in {axis}")
+    n_axis = len(axis)
+    in_dims = tuple(x.shape[a] for a in axis)
+    K = math.prod(in_dims)
+    N = math.prod(features)
+    kshape = in_dims + features
+
+    # Contracted axes to the back (in the given order), then flatten: the
+    # remaining dims keep their relative order, matching dot_general's
+    # output layout in stock DenseGeneral.
+    x2 = jnp.moveaxis(x, axis, tuple(range(x.ndim - n_axis, x.ndim)))
+    lead = x2.shape[:x.ndim - n_axis]
+    x2 = x2.reshape(lead + (K,))
+
+    qc = qconfig.resolve(mod.path)
+    if qc.mode == "serve":
+        y2 = _dense_serve(mod, x2, qc, N)
+    else:
+        acfg = qc.activation_for_axis(x2.ndim - 1)
+        if acfg is not None:
+            x2 = FakeQuantize(acfg, name="act_fq", parent=mod)(
+                x2, training=training)
+
+        def kernel_init_wrap(rng, shape, dtype=jnp.float32):
+            # stock DenseGeneral initializes at the flat 2-D shape and
+            # reshapes — reproduced so init streams match bit-for-bit
+            return jnp.reshape(kernel_init(rng, (K, N), dtype), shape)
+
+        kernel = mod.param("kernel", kernel_init_wrap, kshape)
+        k2 = kernel.reshape(K, N)
+        wcfg = qc.weight_for_axis(1)
+        if wcfg is not None:
+            k2 = FakeQuantize(wcfg, name="weight_fq", parent=mod)(
+                k2, training=training)
+        # layout marker for serve.convert: pack this kernel's (K, N) view
+        mod.variable("quant_state", "dg_flat",
+                     lambda: jnp.asarray((K, N), jnp.int32))
+        y2 = jnp.matmul(x2, k2, preferred_element_type=jnp.float32)
+    y = y2.reshape(lead + features)
+    if use_bias:
+        def bias_init_wrap(rng, shape, dtype=jnp.float32):
+            return jnp.reshape(bias_init(rng, (N,), dtype), shape)
+
+        bias = mod.param("bias", bias_init_wrap, features)
+        y = y + bias
+    return y.astype(dtype or x.dtype)
+
+
 class QuantDense(nn.Module):
     """Dense layer with LSQ weight + input-activation fake-quantizers.
 
@@ -186,6 +266,27 @@ class QuantDense(nn.Module):
     def __call__(self, x, *, training: bool = False):
         return dense_apply(
             self, x, self.qconfig, features=self.features,
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=self.kernel_init, bias_init=self.bias_init,
+            training=training)
+
+
+class QuantDenseGeneral(nn.Module):
+    """``nn.DenseGeneral`` with LSQ quantizers: multi-axis contraction on a
+    flattened (K, N) quantized view (see :func:`densegeneral_apply`)."""
+
+    features: Union[int, Sequence[int]]
+    qconfig: QConfig
+    axis: Union[int, Sequence[int]] = -1
+    use_bias: bool = True
+    dtype: Any = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        return densegeneral_apply(
+            self, x, self.qconfig, features=self.features, axis=self.axis,
             use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=self.kernel_init, bias_init=self.bias_init,
             training=training)

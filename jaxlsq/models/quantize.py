@@ -44,7 +44,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import conv_apply, dense_apply
+from .layers import conv_apply, dense_apply, densegeneral_apply
 from .qconfig import QConfig
 
 __all__ = ["quantize_model", "QuantizedModel"]
@@ -55,7 +55,7 @@ __all__ = ["quantize_model", "QuantizedModel"]
 # Any of them can be kept float explicitly via `skip`.
 _UNSUPPORTED = tuple(
     getattr(nn, name) for name in
-    ("DenseGeneral", "ConvTranspose", "ConvLocal", "Einsum")
+    ("ConvTranspose", "ConvLocal", "Einsum")
     if hasattr(nn, name))
 
 
@@ -140,8 +140,8 @@ def _make_interceptor(qconfig: QConfig, training: bool,
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         t = type(mod)
-        if t not in (nn.Dense, nn.Conv, nn.Embed) and not isinstance(
-                mod, _UNSUPPORTED):
+        if t not in (nn.Dense, nn.DenseGeneral, nn.Conv,
+                     nn.Embed) and not isinstance(mod, _UNSUPPORTED):
             return next_fun(*args, **kwargs)
         path = _path_of(mod)
         if any(pat in path for pat in skip):
@@ -162,6 +162,23 @@ def _make_interceptor(qconfig: QConfig, training: bool,
                     f"not supported (layer '{path}').")
             return dense_apply(
                 mod, args[0], qconfig, features=mod.features,
+                use_bias=mod.use_bias, dtype=mod.dtype,
+                kernel_init=mod.kernel_init, bias_init=mod.bias_init,
+                training=training)
+        if t is nn.DenseGeneral:
+            if (getattr(mod, "dot_general", None) is not None
+                    or getattr(mod, "dot_general_cls", None) is not None):
+                raise ValueError(
+                    f"quantize_model: nn.DenseGeneral with a custom "
+                    f"dot_general is not supported (layer '{path}').")
+            if tuple(mod.batch_dims or ()):
+                raise ValueError(
+                    f"quantize_model: nn.DenseGeneral with batch_dims is "
+                    f"not supported — quantized kernels have no batched "
+                    f"weights (layer '{path}').  Add the path to skip=() "
+                    "to keep it float.")
+            return densegeneral_apply(
+                mod, args[0], qconfig, features=mod.features, axis=mod.axis,
                 use_bias=mod.use_bias, dtype=mod.dtype,
                 kernel_init=mod.kernel_init, bias_init=mod.bias_init,
                 training=training)

@@ -88,8 +88,9 @@ def convert(variables: Dict[str, Any], qconfig, *,
     """
     params = variables["params"]
     qparams = variables.get("qparams", {})
+    quant_state = variables.get("quant_state", {})
 
-    def walk(p_tree, q_tree, path=()):
+    def walk(p_tree, q_tree, s_tree, path=()):
         if not isinstance(p_tree, dict):
             return p_tree, None
         # 'kernel' = dense/conv weights (per-channel axis = last);
@@ -103,6 +104,12 @@ def convert(variables: Dict[str, Any], qconfig, *,
             # module path the layers resolve against
             qcfg = qconfig.resolve(path)
             kernel = p_tree[wname]
+            if isinstance(s_tree, dict) and "dg_flat" in s_tree:
+                # DenseGeneral (models/layers.py::densegeneral_apply): the
+                # QAT scales live on the flattened (K, N) view — pack that,
+                # and the serve path consumes the 2-D PackedWeight.
+                kernel = kernel.reshape(tuple(int(d)
+                                              for d in s_tree["dg_flat"]))
             axis = 0 if wname == "embedding" else _weight_axis_for(kernel)
             wspec = qcfg.weight.spec.replace(axis=axis) \
                 if qcfg.weight.spec.per_channel else qcfg.weight.spec
@@ -130,7 +137,8 @@ def convert(variables: Dict[str, Any], qconfig, *,
         new_p, new_q = {}, {}
         for k, v in p_tree.items():
             sub_q = q_tree.get(k, {}) if isinstance(q_tree, dict) else {}
-            np_, nq_ = walk(v, sub_q, path + (k,))
+            sub_s = s_tree.get(k, {}) if isinstance(s_tree, dict) else {}
+            np_, nq_ = walk(v, sub_q, sub_s, path + (k,))
             # drop only empty dicts; array leaves (LayerNorm/Embed params,
             # biases) pass through untouched
             if not (isinstance(np_, dict) and not np_):
@@ -139,7 +147,7 @@ def convert(variables: Dict[str, Any], qconfig, *,
                 new_q[k] = nq_
         return new_p, new_q
 
-    new_params, quantized = walk(params, qparams)
+    new_params, quantized = walk(params, qparams, quant_state)
     out = {"params": new_params, "quantized": quantized or {}}
     # 'losses' is per-step training scratch (QuantMoE's aux load-balance
     # term) — meaningless at serving, and serve-mode modules don't create it

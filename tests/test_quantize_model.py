@@ -205,22 +205,136 @@ class TestDropIn:
         assert sv["quantized"]["dense_0"]["kernel"].bits == 4
 
 
-class TestUnsupported:
-    class WithDenseGeneral(nn.Module):
+class TestDenseGeneral:
+    """nn.DenseGeneral support (models/layers.py::densegeneral_apply):
+    QAT on the flattened (K, N) view, stock kernel layout preserved, the
+    `dg_flat` marker routes convert to pack the 2-D view."""
+
+    class StockDG(nn.Module):
         @nn.compact
         def __call__(self, x):
-            return nn.DenseGeneral((4, 2), name="dg")(x)
+            return nn.DenseGeneral((4, 2), axis=(1, 2), name="dg")(x)
+
+    class HandDG(nn.Module):
+        qc: object
+
+        @nn.compact
+        def __call__(self, x, *, training=False):
+            from jaxlsq.models import QuantDenseGeneral
+            return QuantDenseGeneral((4, 2), qconfig=self.qc, axis=(1, 2),
+                                     name="dg")(x, training=training)
+
+    class ManualFlat(nn.Module):
+        """The same contraction hand-lowered to a QuantDense on the
+        flattened view — pins the numeric contract of the DG path."""
+        qc: object
+
+        @nn.compact
+        def __call__(self, x, *, training=False):
+            from jaxlsq.models import QuantDense
+            b = x.shape[0]
+            x2 = jnp.moveaxis(x, (1, 2), (2, 3)).reshape(b, x.shape[3], 15)
+            y2 = QuantDense(8, qconfig=self.qc, name="dg")(
+                x2, training=training)
+            return y2.reshape(b, x.shape[3], 4, 2)
+
+    @pytest.fixture(scope="class")
+    def dg_env(self):
+        qc = default_qconfig(8, 8, init_batches=1, per_channel_weights=True)
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(2, 3, 5, 7).astype(np.float32))
+        return qc, x
+
+    def test_intercepted_equals_hand_built(self, dg_env):
+        qc, x = dg_env
+        stock = quantize_model(self.StockDG(), qc)
+        hand = self.HandDG(qc)
+        vs = stock.init(jax.random.key(0), x, training=False)
+        vh = hand.init(jax.random.key(0), x, training=False)
+        _tree_equal(vs, vh, "dg-init")
+        ys, ms = stock.apply(vs, x, training=True,
+                             mutable=["quant_state", "qparams"])
+        yh, mh = hand.apply(vh, x, training=True,
+                            mutable=["quant_state", "qparams"])
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(yh))
+        _tree_equal(ms, mh, "dg-mutated")
+
+    def test_matches_manual_flatten_bit_for_bit(self, dg_env):
+        """Multi-axis DG == moveaxis+reshape+QuantDense, QAT and serving."""
+        qc, x = dg_env
+        stock = quantize_model(self.StockDG(), qc)
+        manual = self.ManualFlat(qc)
+        vs = stock.init(jax.random.key(0), x, training=False)
+        vm = manual.init(jax.random.key(0), x, training=False)
+        ys, _ = stock.apply(vs, x, training=True,
+                            mutable=["quant_state", "qparams"])
+        ym, _ = manual.apply(vm, x, training=True,
+                             mutable=["quant_state", "qparams"])
+        assert ys.shape == (2, 7, 4, 2)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ym))
+        # serving: dg_flat marker makes convert pack the same (15, 8) view
+        sv_s, sv_m = convert(vs, qc), convert(vm, qc)
+        assert sv_s["quantized"]["dg"]["kernel"].data.shape == (15, 8)
+        np.testing.assert_array_equal(
+            np.asarray(sv_s["quantized"]["dg"]["kernel"].data),
+            np.asarray(sv_m["quantized"]["dg"]["kernel"].data))
+        sqc = qc.for_serving("static", "xla")
+        ys = quantize_model(self.StockDG(), sqc).apply(sv_s, x,
+                                                       training=False)
+        ym = self.ManualFlat(sqc).apply(sv_m, x, training=False)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ym))
+        assert sv_s["quantized"]["dg"]["kernel"].data.dtype == jnp.int8
+
+    def test_float_checkpoint_restores_directly(self, dg_env):
+        """Stock kernel layout (*in_axes, *features) is preserved, so float
+        DenseGeneral checkpoints restore unchanged."""
+        qc, x = dg_env
+        float_vars = self.StockDG().init(jax.random.key(3), x)
+        stock = quantize_model(self.StockDG(), qc)
+        qvars = stock.init(jax.random.key(0), x, training=False)
+        assert (jax.tree.map(lambda a: a.shape, float_vars["params"])
+                == jax.tree.map(lambda a: a.shape, qvars["params"]))
+        assert qvars["params"]["dg"]["kernel"].shape == (3, 5, 4, 2)
+        merged = dict(qvars, params=float_vars["params"])
+        y, _ = stock.apply(merged, x, training=True,
+                           mutable=["quant_state", "qparams"])
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_batch_dims_rejected(self):
+        class BatchedDG(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.DenseGeneral(4, axis=-1, batch_dims=(0,),
+                                       name="bdg")(x)
+
+        qc = default_qconfig(8, 8)
+        qm = quantize_model(BatchedDG(), qc)
+        with pytest.raises(ValueError, match="batch_dims"):
+            qm.init(jax.random.key(0), jnp.ones((2, 3, 8)), training=False)
+        # ... but skip keeps it float and running
+        qm = quantize_model(BatchedDG(), qc, skip=("bdg",))
+        v = qm.init(jax.random.key(0), jnp.ones((2, 3, 8)), training=False)
+        assert "qparams" not in v
+
+
+class TestUnsupported:
+    class WithConvTranspose(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.ConvTranspose(4, (3, 3), name="ct")(x)
 
     def test_unsupported_parametric_layer_raises(self):
         qc = default_qconfig(8, 8)
-        qm = quantize_model(self.WithDenseGeneral(), qc)
-        with pytest.raises(ValueError, match="DenseGeneral"):
-            qm.init(jax.random.key(0), jnp.ones((2, 8)), training=False)
+        qm = quantize_model(self.WithConvTranspose(), qc)
+        with pytest.raises(ValueError, match="ConvTranspose"):
+            qm.init(jax.random.key(0), jnp.ones((1, 8, 8, 3)),
+                    training=False)
 
     def test_unsupported_layer_skippable(self):
         qc = default_qconfig(8, 8)
-        qm = quantize_model(self.WithDenseGeneral(), qc, skip=("dg",))
-        v = qm.init(jax.random.key(0), jnp.ones((2, 8)), training=False)
+        qm = quantize_model(self.WithConvTranspose(), qc, skip=("ct",))
+        v = qm.init(jax.random.key(0), jnp.ones((1, 8, 8, 3)),
+                    training=False)
         assert "qparams" not in v  # nothing quantized, but it runs
 
     def test_dilated_conv_raises_with_path(self):
