@@ -82,10 +82,21 @@ def default_tx(steps):
 def sgdq_tx(steps):
     """LSQ-paper optimizer class for the quantizer params: SGD momentum 0.9
     on the same cosine schedule, no weight decay — restores the
-    1/sqrt(numel*qmax) grad scale's role (parallel/optim.py docstring)."""
+    1/sqrt(numel*qmax) grad scale's role (parallel/optim.py docstring).
+    qat_optimizer defaults add grad-clip(1.0) + scale eps-projection, the
+    learnable-init stabilizers."""
     return qat_optimizer(
         default_tx(steps),
         optax.sgd(optax.cosine_decay_schedule(3e-3, steps), momentum=0.9))
+
+
+def adamq_tx(steps):
+    """Adam on the qparams but guarded: grad-clip + scale projection (the
+    unguarded adamw run drove 428/2939 activation scales negative during the
+    backprop-init window — docs/measurements/learnable_diag_tpu.json)."""
+    return qat_optimizer(
+        default_tx(steps),
+        optax.adam(optax.cosine_decay_schedule(3e-3, steps)))
 
 
 def recipes():
@@ -124,14 +135,41 @@ def recipes():
                              sgdq_tx)
     out["combo_sgdq"] = (combo, sgdq_tx)
     out["combo400_sgdq"] = (out["combo400"], sgdq_tx)
+    # Window-length extrapolation (20 -> -1.6%, 100 -> -0.79%, 400 -> -0.41%):
+    # the observer-driven phase is what converges; push it to 80% of the
+    # budget, and all the way (static-estimate for the WHOLE run — the
+    # torch.ao default QAT recipe: observer tracks, fake-quant follows, STE
+    # only; no LSQ learning phase at all).
+    from jaxlsq.models.calibrate import set_static_estimate
+    out["window1200"] = default_qconfig(8, 8, init_batches=1200, **PC)
+    out["combo1200"] = default_qconfig(8, 8, init_batches=1200,
+                                       reduce_range=False, **PC)
+    out["static"] = (base, default_tx, set_static_estimate)
+    out["static_full8"] = (default_qconfig(8, 8, init_batches=20,
+                                           reduce_range=False, **PC),
+                           default_tx, set_static_estimate)
+    # LSQ+ learnable init, STABILIZED (parallel/optim.py: qparam grad clip +
+    # scale eps-projection): the raw runs failed two ways — adamw drove
+    # scales negative (-6.1%), plain SGD diverged on border-term spikes
+    # (NaN).  These recipes are the same inits with the guards on.
+    learn = default_qconfig(8, 8, init_batches=100, init_mode="learnable",
+                            **PC)
+    out["learnable_clip"] = (learn, sgdq_tx)
+    out["learnable_adamq"] = (learn, adamq_tx)
+    out["combo_learnable"] = (default_qconfig(
+        8, 8, init_batches=100, init_mode="learnable",
+        reduce_range=False, **PC), adamq_tx)
     return out
 
 
-def train_one(model, steps, batch_size, seed, tx_factory=default_tx):
+def train_one(model, steps, batch_size, seed, tx_factory=default_tx,
+              state_fn=None):
     key = jax.random.key(seed)
     tx = tx_factory(steps)
     x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
     state = create_train_state(model, tx, x0)
+    if state_fn is not None:  # e.g. set_static_estimate on quant_state
+        state = state.replace(model_state=state_fn(dict(state.model_state)))
     raw_step = make_train_step(model, tx, jit=False)
     CHUNK = min(250, steps)
 
@@ -226,13 +264,14 @@ def main():
 
         for name in names:
             qc = all_recipes[name]
-            tx_factory = default_tx
+            tx_factory, state_fn = default_tx, None
             if isinstance(qc, tuple):
-                qc, tx_factory = qc
+                qc, tx_factory, *rest = qc
+                state_fn = rest[0] if rest else None
             t0 = time.time()
             model = model_fn(qc)
             state, loss = train_one(model, args.steps, args.batch, seed,
-                                    tx_factory)
+                                    tx_factory, state_fn)
             variables = {**state.params, **state.model_state}
             preds, _ = eval_top1(model, variables, test_keys)
             acc = float((preds == labels).mean())

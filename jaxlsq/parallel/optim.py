@@ -35,9 +35,54 @@ from __future__ import annotations
 from typing import Optional, Union
 
 import jax
+import jax.numpy as jnp
 import optax
 
-__all__ = ["qat_optimizer"]
+__all__ = ["qat_optimizer", "project_scale_floor"]
+
+
+def project_scale_floor(eps: float = 1.1920929e-07
+                        ) -> optax.GradientTransformation:
+    """Params-aware projection: after the update, every leaf keyed ``scale``
+    satisfies ``scale >= eps`` (f32 machine epsilon by default — the same
+    floor the kernels clamp to, core/golden.py::clamp_scale).
+
+    Why: the fake-quant forward uses ``max(eps, |scale|)`` (lsq_kernel.h:
+    157-158), so a scale parameter driven *negative* by the optimizer doesn't
+    break the forward — but it inverts the gradient's effect on the raw
+    parameter: descent that should shrink the effective scale now GROWS
+    ``|scale|`` without bound.  Measured during LSQ+ backprop-init
+    (init_mode='learnable') with adamw: 428/2939 activation scales negative
+    within 120 steps, top-1 −6.1%.  torch.ao's ``_LearnableFakeQuantize``
+    applies exactly this clamp after each step for the same reason.
+
+    Implemented like ``optax.keep_params_nonnegative``: the incoming update
+    ``u`` for a scale leaf with current value ``p`` becomes
+    ``max(p + u, eps) − p``.  Non-scale leaves and masked (non-array) leaves
+    pass through untouched.  Requires ``params`` at ``update()`` time.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("project_scale_floor requires params "
+                             "(call tx.update(grads, state, params))")
+
+        def proj(path, u, p):
+            is_scale = (len(path) > 0
+                        and getattr(path[-1], "key", None) == "scale")
+            if not is_scale or not hasattr(u, "dtype") \
+                    or not hasattr(p, "dtype"):
+                return u
+            return jnp.maximum(p + u, jnp.asarray(eps, p.dtype)) - p
+
+        return (jax.tree_util.tree_map_with_path(proj, updates, params),
+                state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def qat_optimizer(
@@ -46,6 +91,8 @@ def qat_optimizer(
     *,
     qparam_lr: Union[float, optax.Schedule] = 0.01,
     qparam_momentum: float = 0.9,
+    qparam_grad_clip: Optional[float] = 1.0,
+    project_scale: bool = True,
 ) -> optax.GradientTransformation:
     """Partition the optimizer over the QAT train-state collections.
 
@@ -60,6 +107,17 @@ def qat_optimizer(
       qparam_lr: learning rate (or schedule) for the default quantizer SGD;
         ignored when ``qparams_tx`` is given.
       qparam_momentum: momentum for the default quantizer SGD.
+      qparam_grad_clip: global-norm clip over the qparams gradients, applied
+        BEFORE ``qparams_tx`` (None disables).  The LSQ+ backprop-init border
+        term ``2(x_fq−x)·(qmax−zp)`` is unbounded in x: one batch with a
+        far-outlier activation produces a gradient spike orders of magnitude
+        above steady state, which under SGD momentum diverges
+        (measured: init_mode='learnable' + SGD → NaN train loss).  The clip
+        bounds the spike without touching steady-state updates, whose norm
+        the 1/sqrt(numel·qmax) grad scale keeps ≪ 1.
+      project_scale: clamp every ``scale`` leaf to ≥ f32-eps after the
+        update (see :func:`project_scale_floor`; torch.ao applies the same
+        post-step clamp in ``_LearnableFakeQuantize``).
 
     Returns an ``optax.GradientTransformation`` over the full
     ``{'params': …, 'qparams': …}`` tree, drop-in for ``make_train_step`` /
@@ -72,6 +130,13 @@ def qat_optimizer(
     """
     if qparams_tx is None:
         qparams_tx = optax.sgd(qparam_lr, momentum=qparam_momentum)
+    pieces = []
+    if qparam_grad_clip is not None:
+        pieces.append(optax.clip_by_global_norm(qparam_grad_clip))
+    pieces.append(qparams_tx)
+    if project_scale:
+        pieces.append(project_scale_floor())
+    qparams_tx = optax.chain(*pieces) if len(pieces) > 1 else pieces[0]
 
     def label(params):
         return {

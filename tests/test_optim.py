@@ -98,6 +98,69 @@ def test_drop_in_for_float_baseline():
     assert float(m1["loss"]) < float(m0["loss"])
 
 
+def test_projection_keeps_scale_at_eps_floor():
+    # A gradient that would drive scale negative (the measured learnable-init
+    # failure: adamw pushed 428/2939 activation scales negative) must land
+    # exactly on the eps floor instead.
+    eps = float(jnp.finfo(jnp.float32).eps)
+    tx = qat_optimizer(optax.sgd(1e-2), optax.sgd(1.0),
+                       qparam_grad_clip=None)
+    tree = {"params": {},
+            "qparams": {"q0": {"scale": jnp.full((3,), 0.01),
+                               "shift": jnp.zeros((3,))}}}
+    opt_state = tx.init(tree)
+    grads = {"params": {},
+             "qparams": {"q0": {"scale": jnp.ones((3,)),     # lr 1.0 → -1.0
+                                "shift": jnp.ones((3,))}}}
+    updates, _ = tx.update(grads, opt_state, tree)
+    new = optax.apply_updates(tree, updates)
+    np.testing.assert_array_equal(
+        np.asarray(new["qparams"]["q0"]["scale"]), np.full((3,), eps))
+    # shift is NOT projected — it may legitimately be any sign
+    np.testing.assert_allclose(
+        np.asarray(new["qparams"]["q0"]["shift"]), np.full((3,), -1.0),
+        rtol=1e-6)
+
+
+def test_projection_off_and_scale_in_params_untouched():
+    # project_scale=False restores raw updates; and a WEIGHT named 'scale'
+    # (e.g. LayerNorm) on the params side is never projected either way.
+    tx = qat_optimizer(optax.sgd(1.0), optax.sgd(1.0), qparam_grad_clip=None,
+                       project_scale=False)
+    tree = {"params": {"ln": {"scale": jnp.full((3,), 0.01)}},
+            "qparams": {"q0": {"scale": jnp.full((3,), 0.01)}}}
+    opt_state = tx.init(tree)
+    grads = jax.tree.map(jnp.ones_like, tree)
+    new = optax.apply_updates(tree, tx.update(grads, opt_state, tree)[0])
+    np.testing.assert_allclose(np.asarray(new["qparams"]["q0"]["scale"]),
+                               np.full((3,), -0.99), rtol=1e-5)
+    tx = qat_optimizer(optax.sgd(1.0), optax.sgd(1.0), qparam_grad_clip=None)
+    new = optax.apply_updates(
+        tree, tx.update(grads, tx.init(tree), tree)[0])
+    np.testing.assert_allclose(np.asarray(new["params"]["ln"]["scale"]),
+                               np.full((3,), -0.99), rtol=1e-5)
+
+
+def test_grad_clip_bounds_qparam_spike():
+    # The LSQ+ border term is unbounded in x; a 1e6 gradient spike must be
+    # clipped to global-norm <= qparam_grad_clip before the quantizer tx
+    # (measured: unclipped spike under SGD momentum → NaN train loss).
+    tx = qat_optimizer(optax.sgd(1e-2), optax.sgd(1.0), qparam_grad_clip=1.0,
+                       project_scale=False)
+    tree = {"params": {},
+            "qparams": {"q0": {"scale": jnp.full((4,), 0.5)}}}
+    grads = {"params": {},
+             "qparams": {"q0": {"scale": jnp.full((4,), 1e6)}}}
+    updates, _ = tx.update(grads, tx.init(tree), tree)
+    norm = float(jnp.linalg.norm(updates["qparams"]["q0"]["scale"]))
+    assert norm <= 1.0 + 1e-5
+    # steady-state updates (norm << clip) pass through untouched
+    small = {"params": {}, "qparams": {"q0": {"scale": jnp.full((4,), 1e-4)}}}
+    updates, _ = tx.update(small, tx.init(tree), tree)
+    np.testing.assert_allclose(np.asarray(updates["qparams"]["q0"]["scale"]),
+                               -1e-4 * np.ones((4,)), rtol=1e-6)
+
+
 def test_deep_param_named_qparams_gets_weights_tx():
     # The partition matches the TOP-LEVEL collection only (docstring
     # contract): a label tree built from a params dict whose inner module is
