@@ -145,9 +145,10 @@ def default_qconfig(
     activations over ``init_batches``.
 
     ``act_observer``: 'minmax' (reference-recommended MovingAverageMinMax,
-    README.md:109-110), 'mse' (MSE-minimizing range search), or 'histogram'
+    README.md:109-110), 'mse' (MSE-minimizing range search), 'histogram'
     (torch.ao's default static-quant observer: running histogram +
-    NormMinimization range search)."""
+    NormMinimization range search), or 'percentile' (TensorRT-style
+    99.99th-percentile range — clips 1-in-10⁴ outliers)."""
     wq = LSQQuantizer(
         spec=QuantSpec.weight_default(
             weight_bits, per_channel=per_channel_weights, axis=0,
@@ -167,6 +168,11 @@ def default_qconfig(
         from ..observers import HistogramObserver
 
         obs = HistogramObserver()
+    elif act_observer == "percentile":
+        from ..observers import PercentileObserver
+
+        obs = PercentileObserver(per_channel=aspec.per_channel,
+                                 axis=aspec.axis)
     elif act_observer != "minmax":
         raise ValueError(f"unknown act_observer {act_observer!r}")
     aq = LSQQuantizer(

@@ -4,6 +4,7 @@ from .minmax import (
     MovingAverageMinMaxObserver,
     MSEObserver,
     ObserverState,
+    PercentileObserver,
     observer_qparams,
 )
 from .quantizer import LSQQuantizer, QuantizerState, convert_shift_to_zp
@@ -15,6 +16,7 @@ __all__ = [
     "MovingAverageMinMaxObserver",
     "MSEObserver",
     "ObserverState",
+    "PercentileObserver",
     "observer_qparams",
     "LSQQuantizer",
     "QuantizerState",

@@ -36,7 +36,7 @@ from flax import struct
 from ..core.spec import QuantSpec
 
 __all__ = ["ObserverState", "MinMaxObserver", "MovingAverageMinMaxObserver",
-           "MSEObserver", "observer_qparams"]
+           "MSEObserver", "PercentileObserver", "observer_qparams"]
 
 
 class ObserverState(struct.PyTreeNode):
@@ -184,6 +184,71 @@ class MSEObserver:
                                 state.min_val + c * (nmin - state.min_val))
             new_max = jnp.where(first, nmax,
                                 state.max_val + c * (nmax - state.max_val))
+        return ObserverState(min_val=new_min, max_val=new_max,
+                             seen=state.seen + 1)
+
+    def calculate_qparams(self, state: ObserverState,
+                          spec: QuantSpec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return observer_qparams(state.min_val, state.max_val, spec)
+
+
+@dataclasses.dataclass(frozen=True)
+class PercentileObserver:
+    """Percentile range observer (TensorRT-style calibration; no counterpart
+    in the reference, which only uses torch's min/max observers —
+    README.md:109-110).
+
+    Min/max observers are outlier-hostages: ONE extreme activation stretches
+    the whole range and wastes quantization levels on values that never
+    recur.  This observer tracks the ``(100−p, p)`` batch percentiles instead
+    (default p=99.99: clip the 1-in-10⁴ tail), EMA-merged across batches like
+    MovingAverageMinMaxObserver.  The traced quantile is one device sort per
+    update — gated behind ``lax.cond`` post-window via ``expensive_update``
+    (see LSQQuantizer._forward_traced).
+    """
+
+    percentile: float = 99.99
+    per_channel: bool = False
+    axis: int = 1
+    averaging_constant: Optional[float] = 0.01
+
+    expensive_update = True
+
+    def __post_init__(self):
+        if not 50.0 < self.percentile <= 100.0:
+            raise ValueError(
+                f"percentile must be in (50, 100], got {self.percentile}")
+
+    def init(self, num_channels: int = 1) -> ObserverState:
+        c = num_channels if self.per_channel else 1
+        return ObserverState(
+            min_val=jnp.zeros((c,), jnp.float32),
+            max_val=jnp.zeros((c,), jnp.float32),
+            seen=jnp.zeros((), jnp.int32),
+        )
+
+    def _batch_range(self, x: jnp.ndarray):
+        xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+        q = jnp.asarray([100.0 - self.percentile, self.percentile])
+        if self.per_channel:
+            xc = jnp.moveaxis(xf, self.axis, 0).reshape(x.shape[self.axis], -1)
+            lo, hi = jnp.percentile(xc, q, axis=1)       # (C,), (C,)
+            return lo, hi
+        lo, hi = jnp.percentile(xf.reshape(-1), q)
+        return lo.reshape(1), hi.reshape(1)
+
+    def update(self, state: ObserverState, x: jnp.ndarray) -> ObserverState:
+        bmin, bmax = self._batch_range(x)
+        first = state.seen == 0
+        if self.averaging_constant is None:
+            new_min = jnp.where(first, bmin, jnp.minimum(state.min_val, bmin))
+            new_max = jnp.where(first, bmax, jnp.maximum(state.max_val, bmax))
+        else:
+            c = jnp.float32(self.averaging_constant)
+            new_min = jnp.where(first, bmin,
+                                state.min_val + c * (bmin - state.min_val))
+            new_max = jnp.where(first, bmax,
+                                state.max_val + c * (bmax - state.max_val))
         return ObserverState(min_val=new_min, max_val=new_max,
                              seen=state.seen + 1)
 

@@ -20,6 +20,7 @@ from .train import (
     QATTrainState,
     create_train_state,
     cross_entropy_loss,
+    distillation_loss,
     make_eval_step,
     make_train_step,
 )
@@ -32,5 +33,6 @@ __all__ = [
     "pipeline_sharding", "stack_pipeline_variables",
     "unstack_pipeline_variables",
     "QATTrainState", "create_train_state", "cross_entropy_loss",
+    "distillation_loss",
     "make_train_step", "make_eval_step",
 ]

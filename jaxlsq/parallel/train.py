@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import replicated
 
 __all__ = ["QATTrainState", "make_train_step", "make_eval_step",
-           "create_train_state", "cross_entropy_loss"]
+           "create_train_state", "cross_entropy_loss", "distillation_loss"]
 
 
 class QATTrainState(struct.PyTreeNode):
@@ -43,6 +43,46 @@ class QATTrainState(struct.PyTreeNode):
 def cross_entropy_loss(logits, batch):
     return optax.softmax_cross_entropy_with_integer_labels(
         logits, batch["label"]).mean()
+
+
+def distillation_loss(teacher_model, teacher_variables, *,
+                      alpha: float = 0.5, temperature: float = 2.0,
+                      hard_loss: Callable = cross_entropy_loss) -> Callable:
+    """QAT knowledge distillation: a ``loss_fn`` for :func:`make_train_step`
+    that mixes the hard-label loss with a KL term against a FLOAT teacher
+    (quantization-aware distillation, arXiv:1911.12491-style; the float
+    model QAT starts from is the natural teacher and is already trained in
+    any parity protocol).
+
+    ``loss = alpha·hard_loss(student, batch)
+             + (1−alpha)·T²·KL(softmax(teacher/T) ‖ softmax(student/T))``
+
+    The teacher runs frozen (stop_gradient, ``training=False``, no mutable
+    collections); its variables are closure constants, so no gradient flows
+    to it and the student's optimizer state is unaffected.  Use with the
+    same batch dict as ``hard_loss`` (needs 'input'/'image').
+
+    No counterpart in the reference (it ships no training loop at all —
+    SURVEY.md §2); this is a framework-native recovery lever for the
+    BASELINE accuracy bar.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    t = float(temperature)
+
+    def loss_fn(logits, batch):
+        loss = alpha * hard_loss(logits, batch) if alpha > 0.0 else 0.0
+        if alpha == 1.0:
+            return loss
+        x = batch.get("input", batch.get("image"))
+        t_logits = jax.lax.stop_gradient(
+            teacher_model.apply(teacher_variables, x, training=False))
+        p_t = jax.nn.log_softmax(t_logits / t, axis=-1)
+        p_s = jax.nn.log_softmax(logits / t, axis=-1)
+        kl = jnp.sum(jnp.exp(p_t) * (p_t - p_s), axis=-1).mean()
+        return loss + (1.0 - alpha) * (t * t) * kl
+
+    return loss_fn
 
 
 def create_train_state(model, tx: optax.GradientTransformation, sample_x,
