@@ -169,17 +169,43 @@ def recipes():
         8, 8, init_batches=1200, act_observer="percentile", **PC),)
     out["percentile1200"] = default_qconfig(
         8, 8, init_batches=1200, act_observer="percentile", **PC)
+    # True LSQ+ ordering: statistics init FIRST (20 calibration batches),
+    # THEN the backprop-init window refines from there (marked by name —
+    # the sweep loop passes warm_batches=20 to train_one).
+    out["learnable_warm"] = (learn, sgdq_tx)
+    out["combo_learnable_warm"] = (default_qconfig(
+        8, 8, init_batches=100, init_mode="learnable",
+        reduce_range=False, **PC), sgdq_tx)
     return out
 
 
 def train_one(model, steps, batch_size, seed, tx_factory=default_tx,
-              state_fn=None, loss_fn=None):
+              state_fn=None, loss_fn=None, warm_batches=0):
     key = jax.random.key(seed)
     tx = tx_factory(steps)
     x0, _ = make_batch(jax.random.key(seed + 999), batch_size)
     state = create_train_state(model, tx, x0)
     if state_fn is not None:  # e.g. set_static_estimate on quant_state
         state = state.replace(model_state=state_fn(dict(state.model_state)))
+    if warm_batches:
+        # statistics-first LSQ+: observer-calibrate the activation ranges on
+        # a few batches, then hand back to the learnable window (backprop
+        # refinement starts FROM the data-driven init instead of scale=1.0)
+        from jaxlsq.models.calibrate import calibrate
+        from jaxlsq.models.toggles import map_quant_state
+        variables = {**state.params, **state.model_state}
+        wkeys = jax.random.split(jax.random.key(555_000 + seed), warm_batches)
+        variables = calibrate(
+            model, variables, [make_batch(k, batch_size)[0] for k in wkeys])
+        variables = map_quant_state(
+            variables, lambda qs: {
+                **qs, "learning_enabled": jnp.asarray(True),
+                "observer_enabled": jnp.asarray(False)})
+        state = state.replace(
+            params={"params": variables["params"],
+                    "qparams": variables.get("qparams", {})},
+            model_state={k: v for k, v in variables.items()
+                         if k not in ("params", "qparams")})
     kw = {} if loss_fn is None else {"loss_fn": loss_fn}
     raw_step = make_train_step(model, tx, jit=False, **kw)
     CHUNK = min(250, steps)
@@ -285,10 +311,11 @@ def main():
                 from jaxlsq.parallel import distillation_loss
                 loss_fn = distillation_loss(model_fn(QConfig()), fvars,
                                             alpha=0.5, temperature=2.0)
+            warm = 20 if name.endswith("_warm") else 0
             t0 = time.time()
             model = model_fn(qc)
             state, loss = train_one(model, args.steps, args.batch, seed,
-                                    tx_factory, state_fn, loss_fn)
+                                    tx_factory, state_fn, loss_fn, warm)
             variables = {**state.params, **state.model_state}
             preds, _ = eval_top1(model, variables, test_keys)
             acc = float((preds == labels).mean())
