@@ -281,10 +281,26 @@ def main():
         test_keys = [jax.random.key(1_000_000 + 1000 * seed + i)
                      for i in range(EVAL_N // EVAL_CHUNK)]
         t0 = time.time()
-        fstate, floss = train_one(model_fn(QConfig()), args.steps,
-                                  args.batch, seed)
-        fvars = {**fstate.params, **fstate.model_state}
-        fpreds, labels = eval_top1(model_fn(QConfig()), fvars, test_keys)
+        # The float baseline is deterministic per (model, seed, steps, batch);
+        # cache its per-example predictions so multi-pass sweeps (scout pass,
+        # winner-on-more-seeds pass) do not retrain it.  Distillation recipes
+        # still need the teacher variables and force a retrain.
+        fcache = (f"/tmp/jaxlsq_float_{args.model}_s{seed}"
+                  f"_t{args.steps}_b{args.batch}.npz")
+        need_teacher = any(n.startswith("distill") for n in names)
+        fvars = None
+        try:
+            if need_teacher:
+                raise OSError  # teacher params not cached; retrain
+            z = np.load(fcache)
+            fpreds, labels, floss = z["fpreds"], z["labels"], float(z["loss"])
+        except OSError:
+            fstate, floss = train_one(model_fn(QConfig()), args.steps,
+                                      args.batch, seed)
+            fvars = {**fstate.params, **fstate.model_state}
+            fpreds, labels = eval_top1(model_fn(QConfig()), fvars, test_keys)
+            np.savez(fcache, fpreds=np.asarray(fpreds),
+                     labels=np.asarray(labels), loss=floss)
         facc = float((fpreds == labels).mean())
         results[f"seed{seed}/float"] = {
             "top1": round(facc, 5), "train_loss": round(floss, 4),
