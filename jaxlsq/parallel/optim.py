@@ -17,10 +17,14 @@ the weights: it partitions the train-state tree at the top-level collections
 defaults the quantizer side to SGD with momentum 0.9 and NO weight decay, so
 the LSQ grad scale is load-bearing again.
 
-Measured effect (docs/measurements/recipe_sweep_mnv2_tpu.json, mobilenetv2
-CIFAR w8a8, 1500 steps, 3 seeds): adamw-everywhere = −1.59% top-1 vs float;
-the same recipe with ``qat_optimizer`` closes most of the gap (see the
-``sgdq*`` rows).
+Measured evidence (mobilenetv2 CIFAR w8a8, 1500 steps): the scale-health
+diagnostic docs/measurements/learnable_diag_tpu.json shows WHY the partition
+exists — unguarded adamw on the qparams drove 428/2939 activation scales
+negative during the LSQ+ init window (top-1 −6.1%) while the guarded
+partition kept every scale positive.  Accuracy rows for the ``sgdq*``
+recipes live in docs/measurements/recipe_sweep_mnv2_tpu.json (see
+``summary/sgdq/*``); on this conv-net the activation-range levers
+(init_batches, reduce_range) dominate the optimizer choice.
 
 Usage::
 

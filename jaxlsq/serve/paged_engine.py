@@ -671,7 +671,14 @@ class PagedSpeculativeDecodeEngine(SpeculativeDecodeEngine):
         return PagedPrefix(tokens, int(tokens.size), self, pages,
                            self.page_size)
 
-    _check_prefix = PagedDecodeEngine._check_prefix
+    # Explicit delegation, NOT `_x = PagedDecodeEngine._x` class-level
+    # borrowing: a borrowed method's zero-arg super() binds to the DEFINING
+    # class (the shutdown bug this file already hit once), and this class is
+    # NOT a PagedDecodeEngine subclass — real `def`s keep the call site
+    # honest about the cross-hierarchy reuse.
+
+    def _check_prefix(self, prefix, n_models: int):
+        PagedDecodeEngine._check_prefix(self, prefix, n_models)
 
     def submit(self, prompt, n_new: int, *, prefix: Optional[Prefix] = None):
         size = np.asarray(prompt).size
@@ -686,7 +693,8 @@ class PagedSpeculativeDecodeEngine(SpeculativeDecodeEngine):
 
     # ----------------------------------------------------------- dispatcher
 
-    _stage_admissions = PagedDecodeEngine._stage_admissions
+    def _stage_admissions(self, reserved: set):
+        PagedDecodeEngine._stage_admissions(self, reserved)
 
     def _start_admit(self, req, slot: int):
         """As PagedDecodeEngine._start_admit, with the partial prefix page

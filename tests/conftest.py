@@ -35,6 +35,10 @@ _SMOKE_MODULES = {
 }
 _SMOKE_NODES = (
     "test_decode.py::TestDecodeEngine::test_staggered_requests_match_lockstep",
+    # quantize_model is the advertised third-party entry point (VERDICT r4
+    # next-#8): one init/train parity case + the convert/serve case.
+    "test_quantize_model.py::TestBitParity::test_qat_train_steps_identical",
+    "test_quantize_model.py::TestBitParity::test_convert_and_serving_identical",
 )
 
 
