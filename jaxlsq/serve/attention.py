@@ -202,7 +202,7 @@ def _pick_block_l(length: int, block_l: int, interpret: bool) -> int:
 
 
 def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
-                     impl: str = "auto", block_l: int = 1024,
+                     impl: str = "auto", block_l: Optional[int] = None,
                      precision=None, window: Optional[int] = None,
                      interpret: Optional[bool] = None) -> jnp.ndarray:
     """Causal attention of ``q`` against a full KV cache, fused.
@@ -267,6 +267,15 @@ def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
         vs = ks
 
     interp = _resolve_interpret(interpret)
+    if block_l is None:
+        # Carrier-aware default (r5 lab, examples/_int4_attn_lab.py): at
+        # decode the kernel is per-grid-step latency-bound, not
+        # bandwidth-bound — 2048-row blocks halve the grid steps and ran
+        # 1.25-1.5x faster for bf16/int8 in BOTH lab runs.  The int4 path's
+        # in-register unpack materializes i32 + two f32 nibble planes per
+        # block; at 2048 rows that pressure erased the win in one run and
+        # inverted it in the other, so int4 keeps 1024-row blocks.
+        block_l = 1024 if int4 else 2048
     if window is not None and window < length:
         # block skipping only pays when blocks are window-sized: with the
         # default 1024 target a 256-token window over L=2048 would span the

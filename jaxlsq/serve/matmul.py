@@ -109,11 +109,15 @@ def _wo4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, z_ref, o_ref, acc_ref,
       the two (bk, bn) subtracts it replaces.  (For the convert() path z≡0
       anyway — weight specs are symmetric.)
 
-    Measured M128/K8192/N8192 v5e across tenancy windows: 0.078-0.109 ms,
-    330-430 GB/s weight-stream — wall-clock parity-or-faster vs the int8
-    kernel at the same shape (bytes win realized; the chip is time-shared,
-    so single-run numbers swing ~25% — judge by the committed BENCH_r*.json
-    int4-vs-int8 ms pair, not one stream figure).
+    Two regimes (r5 lab, examples/_int4_kernel_lab.py, 256-step timing
+    chains — shorter chains let dispatch jitter invert the int4-vs-int8
+    ordering between runs):
+
+    * M=128, K=N=8192: COMPUTE-bound.  The bf16 MXU floor (2MKN/197e12 =
+      0.087 ms on v5e) sits at/above the int4 byte time, so int4 can only
+      reach ~0.91x int8 wall-clock here regardless of bytes.
+    * M=16 (decode step): BANDWIDTH-bound — int4 = 0.61x int8 wall-clock
+      (the packed-byte win realized; bench `serve_int4_vs_int8_m16`).
     """
     k = pl.program_id(2)
 
