@@ -211,6 +211,14 @@ class PercentileObserver:
     per_channel: bool = False
     axis: int = 1
     averaging_constant: Optional[float] = 0.01
+    # Subsample cap before the device sort.  XLA's sort is O(N log^2 N)
+    # passes — a FULL percentile over a (128, 32, 32, C) conv activation is
+    # seconds per update and made the percentile1200 recipe ~50x the minmax
+    # cost (r5 campaign: one mobilenetv2 seed did not finish in an hour).
+    # TensorRT-style calibrators subsample for the same reason; a
+    # deterministic stride keeps the update traced-shape-static and
+    # reproducible.  None = exact (fine for small tensors / unit tests).
+    sample_cap: Optional[int] = 1 << 16
 
     expensive_update = True
 
@@ -218,6 +226,8 @@ class PercentileObserver:
         if not 50.0 < self.percentile <= 100.0:
             raise ValueError(
                 f"percentile must be in (50, 100], got {self.percentile}")
+        if self.sample_cap is not None and self.sample_cap < 1024:
+            raise ValueError("sample_cap must be >= 1024 (or None for exact)")
 
     def init(self, num_channels: int = 1) -> ObserverState:
         c = num_channels if self.per_channel else 1
@@ -227,14 +237,23 @@ class PercentileObserver:
             seen=jnp.zeros((), jnp.int32),
         )
 
+    def _subsample(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic strided subsample along the LAST axis down to
+        ``sample_cap`` elements (static shapes; stride >= 1)."""
+        n = flat.shape[-1]
+        if self.sample_cap is None or n <= self.sample_cap:
+            return flat
+        stride = -(-n // self.sample_cap)
+        return flat[..., ::stride]
+
     def _batch_range(self, x: jnp.ndarray):
         xf = jax.lax.stop_gradient(x).astype(jnp.float32)
         q = jnp.asarray([100.0 - self.percentile, self.percentile])
         if self.per_channel:
             xc = jnp.moveaxis(xf, self.axis, 0).reshape(x.shape[self.axis], -1)
-            lo, hi = jnp.percentile(xc, q, axis=1)       # (C,), (C,)
+            lo, hi = jnp.percentile(self._subsample(xc), q, axis=1)  # (C,)
             return lo, hi
-        lo, hi = jnp.percentile(xf.reshape(-1), q)
+        lo, hi = jnp.percentile(self._subsample(xf.reshape(-1)), q)
         return lo.reshape(1), hi.reshape(1)
 
     def update(self, state: ObserverState, x: jnp.ndarray) -> ObserverState:
