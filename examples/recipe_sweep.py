@@ -195,11 +195,25 @@ def recipes():
     # True LSQ+ ordering: statistics init FIRST (20 calibration batches),
     # THEN the backprop-init window refines from there (marked by name —
     # the sweep loop passes warm_batches=20 to train_one).
-    out["learnable_warm"] = (learn, sgdq_tx)
-    out["combo_learnable_warm"] = (default_qconfig(
+    # NOTE (r5): learnable-mode quantizers carry NO observer (reference
+    # parity — learnable mode never consults one), which made calibrate()
+    # a silent no-op in the r4 warm rows; _with_observer attaches one so
+    # the warm start actually warms.
+    out["learnable_warm"] = (_with_observer(learn), sgdq_tx)
+    out["combo_learnable_warm"] = (_with_observer(default_qconfig(
         8, 8, init_batches=100, init_mode="learnable",
-        reduce_range=False, **PC), sgdq_tx)
+        reduce_range=False, **PC)), sgdq_tx)
     return out
+
+
+def _with_observer(qc):
+    """Attach a MovingAverageMinMax observer to the ACTIVATION quantizer of a
+    learnable-mode qconfig so ``calibrate`` (the warm start) has something to
+    drive — learnable mode builds none by default (quantizer.py:136-139)."""
+    from jaxlsq.observers import MovingAverageMinMaxObserver
+    return dataclasses.replace(
+        qc, activation=dataclasses.replace(
+            qc.activation, observer=MovingAverageMinMaxObserver()))
 
 
 def recipes_w4a8():
@@ -259,7 +273,8 @@ def recipes_w4a4():
                                      reduce_range=False, **PC),
         "learnable44": (learn, adamq_tx),
         "learnable44_sgdq": (learn, sgdq_tx),
-        "learnable44_warm": (learn, sgdq_tx),   # + warm_batches=20
+        # warm start needs an attached observer (see _with_observer)
+        "learnable44_warm": (_with_observer(learn), sgdq_tx),
         # learnable with the reduce_range=False lever too (best-case LSQ+)
         "combo_learnable44": (default_qconfig(
             4, 4, init_batches=100, init_mode="learnable",

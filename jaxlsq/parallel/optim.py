@@ -17,14 +17,26 @@ the weights: it partitions the train-state tree at the top-level collections
 defaults the quantizer side to SGD with momentum 0.9 and NO weight decay, so
 the LSQ grad scale is load-bearing again.
 
-Measured evidence (mobilenetv2 CIFAR w8a8, 1500 steps): the scale-health
-diagnostic docs/measurements/learnable_diag_tpu.json shows WHY the partition
-exists — unguarded adamw on the qparams drove 428/2939 activation scales
-negative during the LSQ+ init window (top-1 −6.1%) while the guarded
-partition kept every scale positive.  Accuracy rows for the ``sgdq*``
-recipes live in docs/measurements/recipe_sweep_mnv2_tpu.json (see
-``summary/sgdq/*``); on this conv-net the activation-range levers
-(init_batches, reduce_range) dominate the optimizer choice.
+Measured evidence (mobilenetv2 CIFAR w8a8, 1500 steps):
+
+* WHY the partition exists — the scale-health diagnostic
+  docs/measurements/learnable_diag_tpu.json: unguarded adamw on the qparams
+  drove 428/2939 activation scales negative during the LSQ+ init window
+  (top-1 −6.1%) while the guarded partition kept every scale positive.
+  Stabilizing ``init_mode='learnable'`` is the partition's tested purpose.
+* A MEASURED NEGATIVE for full-run paper-class SGD on conv-net activation
+  qparams: the ``sgdq`` recipe (this partition with SGD cosine-3e-3 m=0.9
+  on the qparams, adamw weights) COLLAPSES mobilenetv2 w8a8 to random
+  (−86% top-1, 3 seeds — ``seed*/sgdq`` in recipe_sweep_mnv2_tpu.json).
+  Mechanism (CPU repro): post-window, momentum concentrates descent on a
+  few activation scales (min scale −35% per 5 steps); once a scale is
+  small enough that every input saturates, the STE mask zeroes dX — the
+  layer is dead, no task gradient flows — and dS loses its in-range
+  restoring term, so the eps floor just pins the absorbing state.
+  Adam-class optimizers escape it because the next sign flip moves the
+  scale back at full ~lr regardless of gradient magnitude.  Keep Adam on
+  conv-net qparams (the measured-safe default) unless the qparam lr is
+  well below the weight lr.
 
 Usage::
 
