@@ -416,7 +416,15 @@ def bench_decode_longcontext(model, qc, r):
 
     # paged pools at the default page_size (the engines' step program shape;
     # engine-level tokens/s over the remote tunnel would measure per-round
-    # host dispatch latency, not the chip — the in-model program is the leg)
+    # host dispatch latency, not the chip — the in-model program is the leg).
+    # NOTE on paged_vs_dense: the r5 profile (paged_profile_tpu.json) pins
+    # the table indirection itself at ~zero cost (paged_update is FASTER
+    # than the dense scatter; kernels within 2% at equal block size) — the
+    # residual ratio is the BLOCK-SIZE gap: the dense kernel auto-picks
+    # 2048-row blocks (1.3x at L=2048, per-grid-step latency-bound) while
+    # the paged kernel's blocks are pinned to page_size=1024 (a block must
+    # be one contiguous pool page).  Raising page_size closes speed but
+    # coarsens pool granularity; 1024 stays the shipped default.
     def paged_generate(n_new):
         pm = sm("pallas")
 

@@ -267,6 +267,7 @@ def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
         vs = ks
 
     interp = _resolve_interpret(interpret)
+    explicit_bl = block_l is not None
     if block_l is None:
         # Carrier-aware default (r5 lab, examples/_int4_attn_lab.py): at
         # decode the kernel is per-grid-step latency-bound, not
@@ -277,11 +278,24 @@ def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
         # inverted it in the other, so int4 keeps 1024-row blocks.
         block_l = 1024 if int4 else 2048
     if window is not None and window < length:
-        # block skipping only pays when blocks are window-sized: with the
-        # default 1024 target a 256-token window over L=2048 would span the
-        # whole 2-block grid.  Cap the target at the window (>=128 keeps the
-        # lane-dim scale blocks legal); nsteps*bl then stays ~window+bl.
-        block_l = min(block_l, max(128, window))
+        if explicit_bl:
+            # caller-pinned blocks: cap at the window so the skip engages
+            # (>=128 keeps the lane-dim scale blocks legal)
+            block_l = min(block_l, max(128, window))
+        else:
+            # Engage block skipping only when it actually beats streaming
+            # the full cache in large blocks.  The kernel is per-grid-step
+            # latency-bound (r5 lab): at L=2048/w=256, two 256-row skip
+            # steps LOSE to one full 2048-row step + mask (bench r5:
+            # windowed-skip 0.86x of full).  Rule: walk window-sized blocks
+            # only if that cuts walked bytes >=4x AND the full walk needs
+            # >=2 grid steps; otherwise keep the big blocks — the window
+            # mask below is applied either way, so this is purely a
+            # schedule choice.
+            blw = max(128, min(window, 1024))
+            nskip = _cdiv(window, blw) + 1
+            if nskip * blw * 4 <= length and _cdiv(length, block_l) >= 2:
+                block_l = blw
     bl = _pick_block_l(length, block_l, interp)
     nl = _cdiv(length, bl)
     sblock = (1, 1, bl) if quantized else (1, 1, 1)
