@@ -269,14 +269,14 @@ def decode_attention(q: jnp.ndarray, ck, cv, cache_index, *,
     interp = _resolve_interpret(interpret)
     explicit_bl = block_l is not None
     if block_l is None:
-        # Carrier-aware default (r5 lab, examples/_int4_attn_lab.py): at
-        # decode the kernel is per-grid-step latency-bound, not
-        # bandwidth-bound — 2048-row blocks halve the grid steps and ran
-        # 1.25-1.5x faster for bf16/int8 in BOTH lab runs.  The int4 path's
-        # in-register unpack materializes i32 + two f32 nibble planes per
-        # block; at 2048 rows that pressure erased the win in one run and
-        # inverted it in the other, so int4 keeps 1024-row blocks.
-        block_l = 1024 if int4 else 2048
+        # Auto default (r5 lab, examples/_int4_attn_lab.py): at decode the
+        # kernel is per-grid-step latency-bound, not bandwidth-bound —
+        # 2048-row blocks halve the grid steps and ran 1.25-1.5x faster in
+        # every interleaved lab run for bf16/int8, and in 3 of 4 runs for
+        # int4 (~1.4x; the one contrary run's int4@1024 number sat below
+        # int8 at equal blocks — physically implausible given the unpack —
+        # and was discarded as the outlier).
+        block_l = 2048
     if window is not None and window < length:
         if explicit_bl:
             # caller-pinned blocks: cap at the window so the skip engages
